@@ -1,0 +1,203 @@
+"""SORT end-to-end tests (model: reference tests/test_sort.cpp)."""
+
+import numpy as np
+import pytest
+
+from motcpp_tpu.models.sort import Sort, SortConfig, make_sort
+
+IMG = np.zeros((480, 640, 3), np.uint8)
+SINGLE = np.array([[100, 100, 200, 200, 0.9, 0]], np.float32)
+MULTI = np.array(
+    [
+        [100, 100, 200, 200, 0.9, 0],
+        [300, 300, 400, 400, 0.8, 0],
+        [500, 100, 600, 200, 0.7, 1],
+    ],
+    np.float32,
+)
+
+
+def small(**kw):
+    kw.setdefault("max_tracks", 32)
+    kw.setdefault("max_dets", 16)
+    return Sort(**kw)
+
+
+def test_initialization():
+    Sort()
+
+
+def test_single_detection_tracking():
+    tr = small(det_thresh=0.3, max_age=1, max_obs=50, min_hits=1)
+    tracks = tr.update(SINGLE, IMG)
+    assert tracks.shape == (1, 8)
+    assert tracks[0, 2] > tracks[0, 0]
+    assert tracks[0, 3] > tracks[0, 1]
+    # near the detection
+    np.testing.assert_allclose(tracks[0, :4], SINGLE[0, :4], atol=2.0)
+    assert tracks[0, 5] == pytest.approx(0.9)
+    assert tracks[0, 7] == 0  # det_ind
+
+
+def test_id_persistence_across_frames():
+    tr = small(det_thresh=0.3, max_age=3, max_obs=50, min_hits=1)
+    tr.update(SINGLE, IMG)
+    tr.update(SINGLE, IMG)
+    moved = SINGLE.copy()
+    moved[0, :4] += 10
+    tracks = tr.update(moved, IMG)
+    assert tracks.shape[0] == 1
+    assert int(tracks[0, 4]) == 1  # first id is 1 (reference: sort.cpp:16-19)
+
+
+def test_track_deletion_after_max_age():
+    tr = small(det_thresh=0.3, max_age=2, max_obs=50, min_hits=1)
+    tr.update(SINGLE, IMG)
+    empty = np.zeros((0, 6), np.float32)
+    tr.update(empty, IMG)
+    tracks = tr.update(empty, IMG)
+    assert tracks.shape[0] == 0
+    # internals: the slot is freed once tsu > max_age
+    tr.update(empty, IMG)
+    state = tr._state
+    assert not bool(np.asarray(state.active).any())
+
+
+def test_multi_object_distinct_ids():
+    tr = small(det_thresh=0.3, max_age=3, max_obs=50, min_hits=1)
+    tracks = tr.update(MULTI, IMG)
+    assert tracks.shape == (3, 8)
+    assert len(set(tracks[:, 4].astype(int))) == 3
+    assert set(tracks[:, 6].astype(int)) == {0, 0, 1} - set() and set(
+        tracks[:, 6].astype(int)
+    ) == {0, 1}
+
+
+def test_high_iou_threshold_creates_new_track():
+    tr = small(det_thresh=0.3, max_age=3, max_obs=50, min_hits=1, iou_threshold=0.9)
+    t1 = tr.update(SINGLE, IMG)
+    far = np.array([[300, 300, 400, 400, 0.9, 0]], np.float32)
+    t2 = tr.update(far, IMG)
+    # far det did not match -> new id
+    assert t2.shape[0] == 1
+    assert int(t2[0, 4]) != int(t1[0, 4])
+
+
+def test_confidence_filtering():
+    mixed = np.array(
+        [[100, 100, 200, 200, 0.3, 0], [300, 300, 400, 400, 0.7, 0]],
+        np.float32,
+    )
+    tr = small(det_thresh=0.5, max_age=3, max_obs=50, min_hits=1)
+    tracks = tr.update(mixed, IMG)
+    assert tracks.shape[0] == 1
+    np.testing.assert_allclose(tracks[0, :4], mixed[1, :4], atol=2.0)
+    assert tracks[0, 7] == 1  # original detection index preserved
+
+
+def test_kalman_motion_prediction_recovers_track():
+    tr = small(det_thresh=0.3, max_age=5, max_obs=50, min_hits=1)
+    tid = None
+    for i in range(5):
+        det = np.array(
+            [[100 + i * 10, 100 + i * 10, 200 + i * 10, 200 + i * 10, 0.9, 0]],
+            np.float32,
+        )
+        tracks = tr.update(det, IMG)
+        tid = int(tracks[0, 4])
+    # miss one frame
+    tr.update(np.zeros((0, 6), np.float32), IMG)
+    # reappears at the extrapolated position
+    det = np.array([[160, 160, 260, 260, 0.9, 0]], np.float32)
+    tracks = tr.update(det, IMG)
+    assert tracks.shape[0] == 1
+    assert int(tracks[0, 4]) == tid  # same identity
+
+
+def test_min_hits_gate():
+    tr = small(det_thresh=0.3, max_age=3, max_obs=50, min_hits=3)
+    # frames 1..3: frame_count <= min_hits -> emitted
+    for _ in range(3):
+        tracks = tr.update(SINGLE, IMG)
+        assert tracks.shape[0] == 1
+    # a NEW track born at frame 4 has hits=1 < min_hits -> suppressed
+    far = np.array([[500, 300, 600, 400, 0.9, 0]], np.float32)
+    tracks = tr.update(np.vstack([SINGLE, far]), IMG)
+    assert tracks.shape[0] == 1  # only the established track
+    # after 3 hits it appears
+    tr.update(np.vstack([SINGLE, far]), IMG)
+    tracks = tr.update(np.vstack([SINGLE, far]), IMG)
+    assert tracks.shape[0] == 2
+
+
+def test_reset():
+    tr = small(min_hits=1)
+    tr.update(SINGLE, IMG)
+    tr.reset()
+    tracks = tr.update(SINGLE, IMG)
+    assert tracks.shape[0] == 1
+    assert int(tracks[0, 4]) == 1  # per-instance ids restart after reset
+
+
+def test_empty_update_no_crash():
+    tr = small(min_hits=1)
+    tracks = tr.update(np.zeros((0, 6), np.float32), IMG)
+    assert tracks.shape == (0, 8)
+
+
+def test_invalid_inputs_raise():
+    tr = small()
+    with pytest.raises(ValueError):
+        tr.update(np.zeros((2, 5), np.float32), IMG)
+    with pytest.raises(ValueError):
+        tr.update(SINGLE, IMG, embs=np.zeros((3, 16), np.float32))
+
+
+def test_functional_core_scan():
+    """Whole-video tracking as one lax.scan — the TPU execution mode."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = SortConfig(min_hits=1, max_age=3, max_tracks=16, max_dets=8)
+    init_fn, step_fn = make_sort(cfg)
+
+    T = 12
+    dets = np.zeros((T, 8, 6), np.float32)
+    mask = np.zeros((T, 8), bool)
+    for t in range(T):
+        dets[t, 0] = [100 + 5 * t, 100, 200 + 5 * t, 200, 0.9, 0]
+        mask[t, 0] = True
+
+    def scan_step(state, inp):
+        d, m = inp
+        state, (out, om) = step_fn(state, d, m)
+        return state, (out, om)
+
+    state = init_fn()
+    _, (outs, oms) = jax.lax.scan(
+        scan_step, state, (jnp.asarray(dets), jnp.asarray(mask))
+    )
+    outs, oms = np.asarray(outs), np.asarray(oms)
+    assert oms.sum() == T  # one track every frame
+    ids = outs[oms][:, 4]
+    assert len(set(ids.astype(int))) == 1  # stable identity throughout
+
+
+def test_functional_core_vmap_streams():
+    """Independent streams batch over a leading axis via vmap."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = SortConfig(min_hits=1, max_tracks=8, max_dets=4)
+    init_fn, step_fn = make_sort(cfg)
+    S = 5
+    states = jax.vmap(lambda _: init_fn())(jnp.arange(S))
+    dets = np.zeros((S, 4, 6), np.float32)
+    mask = np.zeros((S, 4), bool)
+    for s in range(S):
+        dets[s, 0] = [10 * s, 10, 50 + 10 * s, 90, 0.9, 0]
+        mask[s, 0] = True
+    vstep = jax.vmap(step_fn)
+    states, (out, om) = vstep(states, jnp.asarray(dets), jnp.asarray(mask))
+    assert out.shape == (S, 8, 8)
+    assert np.asarray(om).sum() == S
