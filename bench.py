@@ -1,0 +1,130 @@
+"""Throughput benchmark: concurrent 30-FPS tracking streams per chip.
+
+North star (BASELINE.md): >= 256 concurrent 30-FPS streams per TPU v5e
+chip (>= 7,680 aggregate tracked FPS/chip), vs the reference's 1,250 FPS
+single-stream SORT on an i9-13900K CPU (reference README.md Benchmarks).
+
+Protocol: S synthetic streams with a realistic MOT17-like detection
+density (~16 objects/frame, jittered boxes, births/deaths) are tracked
+for T frames as one jitted scan; steady-state wall clock over R repeats
+gives aggregate frames/sec, reported as streams sustainable at 30 FPS.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "streams_at_30fps_per_chip",
+   "vs_baseline": N / 256}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def synth_stream_dets(rng, T, S, N, n_obj=16, img_w=1920, img_h=1080):
+    """Jittered constant-velocity boxes with occasional dropouts."""
+    dets = np.zeros((T, S, N, 6), np.float32)
+    masks = np.zeros((T, S, N), bool)
+    cx = rng.uniform(100, img_w - 100, (S, n_obj)).astype(np.float32)
+    cy = rng.uniform(100, img_h - 100, (S, n_obj)).astype(np.float32)
+    vx = rng.uniform(-5, 5, (S, n_obj)).astype(np.float32)
+    vy = rng.uniform(-3, 3, (S, n_obj)).astype(np.float32)
+    w = rng.uniform(40, 120, (S, n_obj)).astype(np.float32)
+    h = rng.uniform(80, 240, (S, n_obj)).astype(np.float32)
+    for t in range(T):
+        cx = cx + vx + rng.normal(0, 1, (S, n_obj)).astype(np.float32)
+        cy = cy + vy + rng.normal(0, 0.5, (S, n_obj)).astype(np.float32)
+        visible = rng.random((S, n_obj)) > 0.05  # 5% dropout
+        conf = rng.uniform(0.5, 1.0, (S, n_obj)).astype(np.float32)
+        dets[t, :, :n_obj, 0] = cx - w / 2
+        dets[t, :, :n_obj, 1] = cy - h / 2
+        dets[t, :, :n_obj, 2] = cx + w / 2
+        dets[t, :, :n_obj, 3] = cy + h / 2
+        dets[t, :, :n_obj, 4] = conf
+        masks[t, :, :n_obj] = visible
+    return dets, masks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tracker", default="sort")
+    ap.add_argument("--streams", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--max-tracks", type=int, default=64)
+    ap.add_argument("--max-dets", type=int, default=32)
+    ap.add_argument("--objects", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from motcpp_tpu.parallel import MultiStreamRunner
+
+    if args.tracker == "sort":
+        from motcpp_tpu.models.sort import SortConfig, make_sort
+
+        cfg = SortConfig(
+            min_hits=1,
+            max_age=3,
+            max_tracks=args.max_tracks,
+            max_dets=args.max_dets,
+        )
+        init_fn, step_fn = make_sort(cfg)
+    else:
+        raise SystemExit(f"unknown tracker {args.tracker}")
+
+    S, T, N = args.streams, args.frames, args.max_dets
+    rng = np.random.default_rng(0)
+    dets, masks = synth_stream_dets(rng, T, S, N, n_obj=args.objects)
+
+    runner = MultiStreamRunner(init_fn, step_fn, n_streams=S)
+    dets_j = jnp.asarray(dets)
+    masks_j = jnp.asarray(masks)
+
+    # compile + warm up
+    t0 = time.time()
+    out = runner.run(dets_j, masks_j)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    print(f"# compile+first rollout: {compile_s:.1f}s", file=sys.stderr)
+
+    # steady state (reuse carry state — continuous streaming)
+    t0 = time.time()
+    for _ in range(args.repeats):
+        out = runner.run(dets_j, masks_j)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / args.repeats
+
+    frames_tracked = S * T
+    agg_fps = frames_tracked / dt
+    streams_at_30 = agg_fps / 30.0
+    dev = jax.devices()[0]
+    print(
+        f"# {dev.device_kind}: {agg_fps:,.0f} aggregate FPS, "
+        f"{dt/T*1e3:.2f} ms/frame-batch, S={S} K={args.max_tracks} "
+        f"N={args.max_dets}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.tracker}_streams_at_30fps_per_chip",
+                "value": round(streams_at_30, 1),
+                "unit": "streams_at_30fps_per_chip",
+                "vs_baseline": round(streams_at_30 / 256.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Multi-stream tracking: vmap over streams, scan over frames, shard
+over chips.
+
+This is the TPU replacement for the reference's "run one tracker
+instance per thread" scaling advice (reference:
+docs/guides/architecture.md:246-258): S streams * K track slots become
+one struct-of-arrays state pytree with a leading stream axis; the
+per-frame step is vmapped and the whole video is one ``lax.scan``, so a
+chip executes every stream's Kalman algebra, cost matrices and
+assignment solves as fused batched kernels. Across chips, the stream
+axis is sharded with ``shard_map`` — each device runs its local shard
+with zero inter-chip communication in the loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_rollout(step_fn: Callable):
+    """Build ``rollout(states, dets, masks) -> (states, (outs, out_masks))``.
+
+    step_fn: per-stream pure step ``(state, dets (N, D), mask (N,)) ->
+    (state, (out, out_mask))``. The rollout vmaps it over a leading
+    stream axis and scans over a leading time axis:
+
+        states: pytree with leading (S, ...)
+        dets: (T, S, N, D), masks: (T, S, N)
+        -> outs: (T, S, K, 8), out_masks: (T, S, K)
+    """
+
+    vstep = jax.vmap(step_fn)
+
+    def rollout(states, dets, masks):
+        def body(st, inp):
+            d, m = inp
+            st, out = vstep(st, d, m)
+            return st, out
+
+        return lax.scan(body, states, (dets, masks))
+
+    return rollout
+
+
+class MultiStreamRunner:
+    """Sharded multi-stream executor.
+
+    Example:
+        cfg = SortConfig(max_tracks=128, max_dets=64)
+        init_fn, step_fn = make_sort(cfg)
+        runner = MultiStreamRunner(init_fn, step_fn, n_streams=256)
+        outs, out_masks = runner.run(dets, masks)   # (T,S,N,6), (T,S,N)
+
+    With more than one device, the stream axis is sharded over a 1-D
+    ``Mesh(("streams",))`` via shard_map; single-device it is a plain
+    jit. Streams must be a multiple of the device count.
+    """
+
+    def __init__(
+        self,
+        init_fn: Callable[[], Any],
+        step_fn: Callable,
+        n_streams: int,
+        devices: list | None = None,
+    ):
+        self.n_streams = int(n_streams)
+        self.devices = devices if devices is not None else jax.devices()
+        n_dev = len(self.devices)
+        if self.n_streams % n_dev != 0:
+            raise ValueError(
+                f"n_streams={n_streams} must divide evenly over "
+                f"{n_dev} devices"
+            )
+        self.mesh = Mesh(np.asarray(self.devices), ("streams",))
+        self._init_fn = init_fn
+        rollout = make_rollout(step_fn)
+
+        if n_dev > 1:
+            from jax import shard_map
+
+            spec_state = P("streams")
+            rollout = shard_map(
+                rollout,
+                mesh=self.mesh,
+                in_specs=(spec_state, P(None, "streams"), P(None, "streams")),
+                out_specs=(spec_state, (P(None, "streams"), P(None, "streams"))),
+                # the LAP while_loop carries start as replicated constants
+                # and become stream-varying inside the loop; skip the
+                # varying-manual-axes check (streams never communicate)
+                check_vma=False,
+            )
+        self._rollout = jax.jit(rollout)
+        self._states = None
+
+    # ------------------------------------------------------------------
+    def init_states(self):
+        S = self.n_streams
+        states = jax.vmap(lambda _: self._init_fn())(jnp.arange(S))
+        if len(self.devices) > 1:
+            sharding = NamedSharding(self.mesh, P("streams"))
+            states = jax.device_put(states, sharding)
+        return states
+
+    def run(self, dets, masks, states=None):
+        """Track T frames across all streams; returns (outs, out_masks)
+        and retains carry state for subsequent calls (streaming use)."""
+        if states is None:
+            states = self._states if self._states is not None else self.init_states()
+        if len(self.devices) > 1:
+            sharding = NamedSharding(self.mesh, P(None, "streams"))
+            dets = jax.device_put(jnp.asarray(dets), sharding)
+            masks = jax.device_put(jnp.asarray(masks), sharding)
+        self._states, outs = self._rollout(states, dets, masks)
+        return outs
+
+    def reset(self):
+        self._states = None

@@ -1,0 +1,85 @@
+"""Multi-stream / multi-device tests (SURVEY.md §2.8: stream parallelism
+replaces the reference's one-tracker-per-thread advice)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motcpp_tpu.models.sort import SortConfig, make_sort
+from motcpp_tpu.parallel import MultiStreamRunner, make_rollout
+
+
+def _mini_inputs(T=4, S=4, N=4):
+    dets = np.zeros((T, S, N, 6), np.float32)
+    masks = np.zeros((T, S, N), bool)
+    for s in range(S):
+        for t in range(T):
+            dets[t, s, 0] = [10 * s + t, 20, 10 * s + t + 60, 140, 0.9, 0]
+            masks[t, s, 0] = True
+    return jnp.asarray(dets), jnp.asarray(masks)
+
+
+def test_rollout_scan_shapes():
+    cfg = SortConfig(min_hits=1, max_tracks=8, max_dets=4)
+    init_fn, step_fn = make_sort(cfg)
+    rollout = make_rollout(step_fn)
+    T, S = 4, 4
+    states = jax.vmap(lambda _: init_fn())(jnp.arange(S))
+    dets, masks = _mini_inputs(T, S)
+    states, (outs, oms) = jax.jit(rollout)(states, dets, masks)
+    assert outs.shape == (T, S, 8, 8)
+    assert np.asarray(oms).sum() == T * S  # one track per stream per frame
+
+
+def test_multistream_runner_single_vs_sharded_equal():
+    """Sharded (8-device) execution must be bit-identical to single-device."""
+    cfg = SortConfig(min_hits=1, max_tracks=8, max_dets=4)
+    init_fn, step_fn = make_sort(cfg)
+    dets, masks = _mini_inputs(T=4, S=8)
+
+    single = MultiStreamRunner(init_fn, step_fn, 8, devices=jax.devices()[:1])
+    outs1, om1 = single.run(dets, masks)
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    sharded = MultiStreamRunner(init_fn, step_fn, 8, devices=jax.devices()[:8])
+    outs8, om8 = sharded.run(dets, masks)
+
+    np.testing.assert_allclose(np.asarray(outs1), np.asarray(outs8), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(om1), np.asarray(om8))
+
+
+def test_runner_carries_state_between_calls():
+    cfg = SortConfig(min_hits=1, max_age=5, max_tracks=8, max_dets=4)
+    init_fn, step_fn = make_sort(cfg)
+    runner = MultiStreamRunner(init_fn, step_fn, 4, devices=jax.devices()[:1])
+    dets, masks = _mini_inputs(T=4, S=4)
+    outs_a, om_a = runner.run(dets, masks)
+    outs_b, om_b = runner.run(dets, masks)  # continues the same tracks
+    ids_a = np.asarray(outs_a)[..., 4][np.asarray(om_a)]
+    ids_b = np.asarray(outs_b)[..., 4][np.asarray(om_b)]
+    assert set(ids_b.astype(int)) == set(ids_a.astype(int))
+
+
+def test_streams_must_divide_devices():
+    cfg = SortConfig(max_tracks=8, max_dets=4)
+    init_fn, step_fn = make_sort(cfg)
+    with pytest.raises(ValueError):
+        MultiStreamRunner(init_fn, step_fn, 5, devices=jax.devices()[:2])
+
+
+def test_graft_entry_contract():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        pathlib.Path(__file__).resolve().parent.parent / "__graft_entry__.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out, out_mask = jax.jit(fn)(*args)
+    assert out.shape[-1] == 8
+    mod.dryrun_multichip(8)
