@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--max-tracks", type=int, default=64)
     ap.add_argument("--max-dets", type=int, default=32)
     ap.add_argument("--objects", type=int, default=16)
+    ap.add_argument("--lap", default="auction", choices=["jv", "auction"],
+                    help="assignment kernel (auction = TPU-fast default)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -77,6 +79,7 @@ def main():
             max_age=3,
             max_tracks=args.max_tracks,
             max_dets=args.max_dets,
+            lap_impl=args.lap,
         )
         init_fn, step_fn = make_sort(cfg)
     else:

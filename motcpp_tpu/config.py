@@ -1,0 +1,74 @@
+"""YAML tracker configuration.
+
+Mirrors the reference's config system (reference:
+include/motcpp/config.hpp:16-49, src/config.cpp:12-80): YAML files under
+``configs/trackers/<name>.yaml`` are parsed into a typed parameter map
+supporting two node styles:
+
+  * flat scalars:            ``det_thresh: 0.2``
+  * hyperparameter nodes:    ``{type: uniform|choice|randint,
+                               default: ..., range|choices: ...}``
+    where loading takes the ``default`` and the range doubles as a
+    tuning search space (src/config.cpp:24-49).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import yaml
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs" / "trackers"
+
+
+class TrackerConfig:
+    """Typed accessor map (reference: config.hpp:22-44)."""
+
+    def __init__(self, params: dict | None = None, search_space: dict | None = None):
+        self.params = params or {}
+        self.search_space = search_space or {}
+
+    def get_float(self, key: str, default: float = 0.0) -> float:
+        return float(self.params.get(key, default))
+
+    def get_int(self, key: str, default: int = 0) -> int:
+        return int(self.params.get(key, default))
+
+    def get_bool(self, key: str, default: bool = False) -> bool:
+        return bool(self.params.get(key, default))
+
+    def get_string(self, key: str, default: str = "") -> str:
+        return str(self.params.get(key, default))
+
+    def as_kwargs(self) -> dict:
+        return dict(self.params)
+
+
+def get_tracker_config_path(name: str) -> Path:
+    """name -> configs/trackers/<name>.yaml (src/config.cpp:76-80)."""
+    return CONFIG_DIR / f"{name}.yaml"
+
+
+def load_tracker_config(path_or_name) -> TrackerConfig:
+    """Load a tracker YAML; accepts a path or a tracker name."""
+    path = Path(path_or_name)
+    if not path.exists():
+        path = get_tracker_config_path(str(path_or_name))
+    if not path.exists():
+        raise FileNotFoundError(f"Tracker config not found: {path_or_name}")
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+
+    params: dict = {}
+    search: dict = {}
+    for key, node in raw.items():
+        if isinstance(node, dict) and "type" in node:
+            # hyperparameter-search node: take the default value
+            params[key] = node.get("default")
+            search[key] = {
+                "type": node.get("type"),
+                "range": node.get("range", node.get("choices")),
+            }
+        else:
+            params[key] = node
+    return TrackerConfig(params, search)

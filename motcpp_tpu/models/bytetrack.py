@@ -70,6 +70,7 @@ class ByteTrackConfig:
     frame_rate: int = 30
     max_tracks: int = 256
     max_dets: int = 128
+    lap_impl: str = "jv"
 
     @property
     def max_time_lost(self) -> int:
@@ -166,7 +167,9 @@ def make_bytetrack(cfg: ByteTrackConfig):
         cost1 = fuse_score(
             1.0 - iou_batch(pool_xyxy, det_xyxy), det_conf
         )
-        r2c1, c2r1 = solve_lap_masked(cost1, pool_m, high, cfg.match_thresh)
+        r2c1, c2r1 = solve_lap_masked(
+            cost1, pool_m, high, cfg.match_thresh, impl=cfg.lap_impl
+        )
         m1 = r2c1 >= 0
         j1 = jnp.clip(r2c1, 0, N - 1)
         z1 = _xyah_of_dets(dets[j1])
@@ -187,7 +190,7 @@ def make_bytetrack(cfg: ByteTrackConfig):
         orig_xyxy = boxes.xyah2xyxy(mean[:, :4])
         cost2 = 1.0 - iou_batch(orig_xyxy, det_xyxy)
         r2c2, c2r2 = solve_lap_masked(
-            cost2, r_tracked & gate2, second & gate2, 0.5
+            cost2, r_tracked & gate2, second & gate2, 0.5, impl=cfg.lap_impl
         )
         m2 = r2c2 >= 0
         j2 = jnp.clip(r2c2, 0, N - 1)
@@ -211,7 +214,7 @@ def make_bytetrack(cfg: ByteTrackConfig):
         unconf_xyxy = boxes.xyah2xyxy(mean[:, :4])
         cost3 = fuse_score(1.0 - iou_batch(unconf_xyxy, det_xyxy), det_conf)
         r2c3, c2r3 = solve_lap_masked(
-            cost3, unconf_m & gate3, rem_high & gate3, 0.7
+            cost3, unconf_m & gate3, rem_high & gate3, 0.7, impl=cfg.lap_impl
         )
         m3 = r2c3 >= 0
         j3 = jnp.clip(r2c3, 0, N - 1)
@@ -320,6 +323,7 @@ class ByteTrack(BaseTrackerWrapper):
         frame_rate: int = 30,
         max_tracks: int = 256,
         max_dets: int = 128,
+        lap_impl: str = "jv",
     ):
         super().__init__(max_dets=max_dets)
         del per_class, nr_classes, asso_func, is_obb
@@ -336,6 +340,7 @@ class ByteTrack(BaseTrackerWrapper):
             frame_rate=frame_rate,
             max_tracks=max_tracks,
             max_dets=max_dets,
+            lap_impl=lap_impl,
         )
         self._init, self._core_step = make_bytetrack(self.cfg)
 

@@ -71,6 +71,7 @@ class OCSortConfig:
     q_s_scaling: float = 0.0001
     max_tracks: int = 256
     max_dets: int = 128
+    lap_impl: str = "jv"
     frame_width: int = 1920
     frame_height: int = 1080
 
@@ -296,7 +297,9 @@ def make_ocsort(cfg: OCSortConfig):
             iou_mat, high, active, cfg.iou_threshold
         )
         cost1 = -(iou_mat + angle_cost)
-        d2t_lap, _ = solve_lap_masked(cost1, high, active, -cfg.iou_threshold)
+        d2t_lap, _ = solve_lap_masked(
+            cost1, high, active, -cfg.iou_threshold, impl=cfg.lap_impl
+        )
         # post-filter: matched pairs must clear the raw-IoU threshold
         lap_iou = jnp.take_along_axis(
             iou_mat, jnp.clip(d2t_lap, 0, K - 1)[:, None], axis=1
@@ -330,7 +333,8 @@ def make_ocsort(cfg: OCSortConfig):
                 & (jnp.max(masked2, initial=-jnp.inf) > cfg.iou_threshold)
             )
             d2t_2, _ = solve_lap_masked(
-                -iou2, second & gate2, u_trk & gate2, -cfg.iou_threshold
+                -iou2, second & gate2, u_trk & gate2, -cfg.iou_threshold,
+                impl=cfg.lap_impl,
             )
             iou2_sel = jnp.take_along_axis(
                 iou2, jnp.clip(d2t_2, 0, K - 1)[:, None], axis=1
@@ -355,7 +359,8 @@ def make_ocsort(cfg: OCSortConfig):
             & (jnp.max(masked3, initial=-jnp.inf) > cfg.iou_threshold)
         )
         d2t_3, _ = solve_lap_masked(
-            -iou3, u_det & gate3, u_trk & gate3, -cfg.iou_threshold
+            -iou3, u_det & gate3, u_trk & gate3, -cfg.iou_threshold,
+            impl=cfg.lap_impl,
         )
         iou3_sel = jnp.take_along_axis(
             iou3, jnp.clip(d2t_3, 0, K - 1)[:, None], axis=1
@@ -476,6 +481,7 @@ class OCSort(BaseTrackerWrapper):
         Q_s_scaling: float = 0.0001,
         max_tracks: int = 256,
         max_dets: int = 128,
+        lap_impl: str = "jv",
     ):
         super().__init__(max_dets=max_dets)
         del per_class, nr_classes, is_obb
@@ -494,6 +500,7 @@ class OCSort(BaseTrackerWrapper):
             q_s_scaling=Q_s_scaling,
             max_tracks=max_tracks,
             max_dets=max_dets,
+            lap_impl=lap_impl,
         )
         self.cfg = OCSortConfig(**self._cfg_kw)
         self._init, self._core_step = make_ocsort(self.cfg)

@@ -56,6 +56,8 @@ class SortConfig:
     # TPU capacity knobs (the reference grows vectors dynamically)
     max_tracks: int = 256
     max_dets: int = 128
+    # assignment kernel: "jv" (exact) or "auction" (TPU-fast, eps-optimal)
+    lap_impl: str = "jv"
 
 
 class SortState(NamedTuple):
@@ -122,7 +124,7 @@ def make_sort(cfg: SortConfig):
         # --- association: 1 - IoU, thresh 1 - iou_thr (sort.cpp:168-178) -
         cost = 1.0 - iou_batch(trk_xyxy, dets[:, :4])
         r2c, c2r = solve_lap_masked(
-            cost, active, valid, 1.0 - cfg.iou_threshold
+            cost, active, valid, 1.0 - cfg.iou_threshold, impl=cfg.lap_impl
         )
 
         # --- matched updates (reference: sort.cpp:181-193) ---------------
@@ -228,6 +230,7 @@ class Sort(BaseTrackerWrapper):
         is_obb: bool = False,
         max_tracks: int = 256,
         max_dets: int = 128,
+        lap_impl: str = "jv",
     ):
         super().__init__(max_dets=max_dets)
         # SORT ignores asso_func and always uses IoU (reference:
@@ -241,6 +244,7 @@ class Sort(BaseTrackerWrapper):
             iou_threshold=iou_threshold,
             max_tracks=max_tracks,
             max_dets=max_dets,
+            lap_impl=lap_impl,
         )
         self._init, self._core_step = make_sort(self.cfg)
 

@@ -142,6 +142,7 @@ def solve_lap_masked(
     row_mask: jnp.ndarray,
     col_mask: jnp.ndarray,
     thresh,
+    impl: str = "jv",
 ):
     """Masked linear assignment with cost limit, jit/vmap-compatible.
 
@@ -153,11 +154,18 @@ def solve_lap_masked(
         thresh: scalar cost limit; a pair is only matched if profitable
             vs. leaving both endpoints unmatched (reference semantics:
             lap_solver.hpp:296-320 with costLimit padding).
+        impl: "jv" (exact shortest-augmenting-path, host/parity paths) or
+            "auction" (eps-optimal parallel bidding, the TPU-fast path —
+            see ops/auction.py).
 
     Returns:
         row2col: (R,) int32, matched column per row or -1.
         col2row: (C,) int32, matched row per column or -1.
     """
+    if impl == "auction":
+        from motcpp_tpu.ops.auction import solve_lap_auction
+
+        return solve_lap_auction(cost, row_mask, col_mask, thresh)
     R, C = cost.shape
     thresh = jnp.asarray(thresh, cost.dtype)
     aug = _augmented_cost(cost.astype(jnp.float32), row_mask, col_mask, thresh)

@@ -1,0 +1,99 @@
+"""Auction solver tests: eps-optimality vs the exact JV solver, and
+end-to-end tracker equivalence on well-separated scenes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motcpp_tpu.ops.auction import solve_lap_auction
+from motcpp_tpu.ops.lap import solve_lap_masked
+
+
+def _objective(cost, r2c, thresh):
+    """Total cost of a partial matching under cost-limit economics:
+    sum of matched costs + thresh per unmatched endpoint pair."""
+    total = 0.0
+    for i, j in enumerate(r2c):
+        if j >= 0:
+            total += float(cost[i, j]) - thresh
+    return total
+
+
+@pytest.mark.parametrize("shape", [(6, 6), (10, 4), (4, 10), (20, 20)])
+@pytest.mark.parametrize("thresh", [0.5, 0.9])
+def test_auction_matches_jv_objective(rng, shape, thresh):
+    R, C = shape
+    for _ in range(5):
+        cost = rng.random(shape).astype(np.float32)
+        rm = jnp.ones((R,), bool)
+        cm = jnp.ones((C,), bool)
+        r2c_jv, _ = solve_lap_masked(jnp.asarray(cost), rm, cm, thresh)
+        r2c_au, c2r_au = solve_lap_auction(jnp.asarray(cost), rm, cm, thresh)
+        obj_jv = _objective(cost, np.asarray(r2c_jv), thresh)
+        obj_au = _objective(cost, np.asarray(r2c_au), thresh)
+        n = R + C
+        assert obj_au <= obj_jv + n * 2e-4, (cost, r2c_jv, r2c_au)
+        # auction never matches above the cost limit
+        for i, j in enumerate(np.asarray(r2c_au)):
+            if j >= 0:
+                assert cost[i, j] < thresh + 1e-6
+        # consistency of the inverse map
+        c2r_au = np.asarray(c2r_au)
+        for i, j in enumerate(np.asarray(r2c_au)):
+            if j >= 0:
+                assert c2r_au[j] == i
+
+
+def test_auction_clear_cut_matches_exact(rng):
+    """With well-separated costs the auction matching is identical."""
+    cost = np.full((5, 5), 0.9, np.float32)
+    np.fill_diagonal(cost, 0.05)
+    rm = jnp.ones((5,), bool)
+    cm = jnp.ones((5,), bool)
+    r2c, _ = solve_lap_auction(jnp.asarray(cost), rm, cm, 0.5)
+    assert list(np.asarray(r2c)) == [0, 1, 2, 3, 4]
+
+
+def test_auction_masked_and_empty():
+    cost = np.random.default_rng(1).random((8, 6)).astype(np.float32)
+    rm = np.zeros((8,), bool)
+    cm = np.zeros((6,), bool)
+    r2c, c2r = solve_lap_auction(jnp.asarray(cost), jnp.asarray(rm), jnp.asarray(cm), 0.5)
+    assert all(np.asarray(r2c) == -1)
+    assert all(np.asarray(c2r) == -1)
+
+
+def test_auction_inf_and_negative_costs(rng):
+    cost = np.array([[np.inf, -0.5], [-0.9, np.inf]], np.float32)
+    rm = jnp.ones((2,), bool)
+    cm = jnp.ones((2,), bool)
+    r2c, _ = solve_lap_auction(jnp.asarray(cost), rm, cm, 0.3)
+    assert list(np.asarray(r2c)) == [1, 0]
+
+
+def test_sort_auction_equals_jv_on_separated_scene():
+    """End-to-end: with well-separated objects, SORT with the auction
+    solver produces identical tracks to the exact solver."""
+    from motcpp_tpu.models.sort import Sort
+
+    IMG = np.zeros((480, 640, 3), np.uint8)
+
+    def run(lap_impl):
+        tr = Sort(min_hits=1, max_age=3, max_tracks=16, max_dets=8,
+                  lap_impl=lap_impl)
+        outs = []
+        for t in range(10):
+            dets = np.array(
+                [
+                    [10 + 5 * t, 10, 60 + 5 * t, 110, 0.9, 0],
+                    [300, 200 + 4 * t, 360, 320 + 4 * t, 0.8, 0],
+                ],
+                np.float32,
+            )
+            outs.append(np.sort(tr.update(dets, IMG), axis=0))
+        return outs
+
+    outs_jv = run("jv")
+    outs_au = run("auction")
+    for a, b in zip(outs_jv, outs_au):
+        np.testing.assert_allclose(a, b, atol=1e-4)

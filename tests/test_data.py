@@ -1,0 +1,136 @@
+"""Data/config/CLI layer tests, using the reference's bundled
+MOT17-mini assets as read-only fixtures when present."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from motcpp_tpu.config import TrackerConfig, load_tracker_config
+from motcpp_tpu.data import (
+    MOT17Dataset,
+    convert_to_mot_format,
+    write_mot_results,
+)
+
+MOT_MINI = Path("/root/reference/assets/MOT17-mini/train")
+needs_assets = pytest.mark.skipif(
+    not MOT_MINI.exists(), reason="MOT17-mini assets not available"
+)
+
+
+def test_convert_to_mot_format():
+    tracks = np.array(
+        [[10.0, 20.0, 50.0, 100.0, 7.0, 0.9, 0.0, 3.0]], np.float32
+    )
+    mot = convert_to_mot_format(tracks, 5)
+    assert mot.shape == (1, 10)
+    np.testing.assert_allclose(
+        mot[0], [5, 7, 10, 20, 40, 80, 0.9, -1, -1, -1], atol=1e-5
+    )
+    assert convert_to_mot_format(np.zeros((0, 8)), 1).shape == (0, 10)
+
+
+def test_write_mot_results_appends(tmp_path):
+    out = tmp_path / "a" / "seq.txt"
+    tracks = np.array([[10, 20, 50, 100, 7, 0.9, 0, 3]], np.float32)
+    write_mot_results(out, convert_to_mot_format(tracks, 1))
+    write_mot_results(out, convert_to_mot_format(tracks, 2))
+    lines = out.read_text().strip().split("\n")
+    assert lines[0] == "1,7,10,20,40,80,0.900000,-1,-1,-1"
+    assert lines[1].startswith("2,7,")
+
+
+def test_det_parsing_both_formats(tmp_path):
+    comma = tmp_path / "comma.txt"
+    comma.write_text("1,-1,10,20,40,80,0.9\n1,-1,50,60,10,10,0.5\n2,-1,0,0,5,5,0.3\n")
+    dets = MOT17Dataset.load_detections(comma)
+    assert set(dets) == {1, 2}
+    assert dets[1].shape == (2, 6)
+    np.testing.assert_allclose(dets[1][0], [10, 20, 50, 100, 0.9, 0], atol=1e-5)
+
+    space = tmp_path / "space.txt"
+    space.write_text("1 10 20 50 100 0.9 0\n3 1 2 3 4 0.5 1\n")
+    dets = MOT17Dataset.load_detections(space)
+    assert set(dets) == {1, 3}
+    np.testing.assert_allclose(dets[3][0], [1, 2, 3, 4, 0.5, 1], atol=1e-5)
+
+
+def test_embedding_alignment(tmp_path):
+    det_file = tmp_path / "d.txt"
+    det_file.write_text("1,-1,0,0,10,10,0.9\n1,-1,5,5,10,10,0.8\n2,-1,0,0,10,10,0.7\n")
+    dets = MOT17Dataset.load_detections(det_file)
+    emb_file = tmp_path / "e.txt"
+    emb_file.write_text("1 0 0\n0 1 0\n0 0 1\n")
+    embs = MOT17Dataset.load_embeddings(emb_file, dets)
+    assert embs[1].shape == (2, 3)
+    assert embs[2].shape == (1, 3)
+    np.testing.assert_allclose(embs[2][0], [0, 0, 1])
+
+
+def test_config_flat_and_tune_styles(tmp_path):
+    y = tmp_path / "t.yaml"
+    y.write_text(
+        "det_thresh: 0.25\nuse_byte: true\nasso_func: giou\n"
+        "match_thresh:\n  type: uniform\n  default: 0.9\n  range: [0.7, 0.9]\n"
+        "track_buffer:\n  type: randint\n  default: 30\n  range: [10, 61, 10]\n"
+    )
+    cfg = load_tracker_config(y)
+    assert cfg.get_float("det_thresh") == pytest.approx(0.25)
+    assert cfg.get_bool("use_byte") is True
+    assert cfg.get_string("asso_func") == "giou"
+    assert cfg.get_float("match_thresh") == pytest.approx(0.9)
+    assert cfg.get_int("track_buffer") == 30
+    assert cfg.search_space["match_thresh"]["type"] == "uniform"
+
+
+def test_shipped_configs_load():
+    for name in (
+        "sort", "bytetrack", "ocsort", "deepocsort", "strongsort",
+        "botsort", "boosttrack", "hybridsort", "ucmctrack",
+    ):
+        cfg = load_tracker_config(name)
+        assert isinstance(cfg, TrackerConfig)
+    with pytest.raises(FileNotFoundError):
+        load_tracker_config("nonexistent_tracker")
+
+
+@needs_assets
+def test_mot17_mini_indexing():
+    ds = MOT17Dataset(MOT_MINI)
+    names = ds.sequence_names()
+    assert "MOT17-02-FRCNN" in names and "MOT17-04-FRCNN" in names
+    seq = ds.get_sequence_info("MOT17-02-FRCNN")
+    assert seq.fps == 30
+    assert len(seq.frame_ids) > 0
+    dets = ds.load_detections(seq.det_path)
+    assert len(dets) > 0
+    n, c = next(iter(dets.values())).shape
+    assert c == 6
+
+
+@needs_assets
+def test_cli_end_to_end_mot_mini(tmp_path):
+    from motcpp_tpu.cli import main
+
+    rc = main(
+        [
+            str(MOT_MINI),
+            str(tmp_path / "results"),
+            "sort",
+            "--max-dets", "128",
+            "--max-tracks", "128",
+            "--cpu",
+        ]
+    )
+    assert rc == 0
+    outs = list((tmp_path / "results").glob("*.txt"))
+    assert len(outs) == 2
+    for f in outs:
+        rows = [l.split(",") for l in f.read_text().strip().split("\n") if l]
+        assert all(len(r) == 10 for r in rows)
+        frames = sorted({int(r[0]) for r in rows})
+        assert frames[0] >= 1
+        ids = {int(r[1]) for r in rows}
+        assert len(ids) > 1  # multiple pedestrians tracked
