@@ -1,0 +1,120 @@
+"""BoT-SORT tests: ReID-fused association, GMC warp, lifecycle quirks."""
+
+import numpy as np
+import pytest
+
+from motcpp_tpu.models.botsort import BotSort
+
+IMG = np.zeros((1080, 1920, 3), np.uint8)
+
+
+def small(**kw):
+    kw.setdefault("max_tracks", 32)
+    kw.setdefault("max_dets", 16)
+    return BotSort(**kw)
+
+
+def det(x1, y1, x2, y2, conf=0.9, cls=0):
+    return [x1, y1, x2, y2, conf, cls]
+
+
+def _emb(*vecs):
+    e = np.asarray(vecs, np.float32)
+    return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+
+def test_first_frame_activation_and_ids():
+    tr = small(with_reid=False)
+    out = tr.update(
+        np.array([det(100, 100, 200, 300), det(400, 100, 500, 300, 0.8)], np.float32),
+        IMG,
+    )
+    assert out.shape == (2, 8)
+    assert set(out[:, 4].astype(int)) == {1, 2}
+
+
+def test_new_track_threshold():
+    tr = small(with_reid=False, new_track_thresh=0.85)
+    out = tr.update(np.array([det(100, 100, 200, 300, 0.7)], np.float32), IMG)
+    assert out.shape[0] == 0  # conf 0.7 passes first-stage but not birth
+
+
+def test_empty_input_is_noop():
+    tr = small(with_reid=False)
+    d = np.array([det(100, 100, 200, 300)], np.float32)
+    tr.update(d, IMG)
+    fc_before = int(np.asarray(tr._state.frame_count))
+    out = tr.update(np.zeros((0, 6), np.float32), IMG)
+    assert out.shape[0] == 0
+    assert int(np.asarray(tr._state.frame_count)) == fc_before
+
+
+def test_second_stage_low_conf_keeps_identity():
+    tr = small(with_reid=False)
+    d = np.array([det(100, 100, 200, 300)], np.float32)
+    t1 = tr.update(d, IMG)
+    tid = int(t1[0, 4])
+    low = np.array([det(102, 102, 202, 302, 0.3)], np.float32)
+    t2 = tr.update(low, IMG)
+    assert t2.shape[0] == 1 and int(t2[0, 4]) == tid
+
+
+def test_second_bucket_inclusive_at_high_thresh():
+    """conf == track_high_thresh lands in the SECOND bucket
+    (botsort.cpp:373-380 else-if), unlike ByteTrack's strict split."""
+    tr = small(with_reid=False, track_high_thresh=0.5)
+    d = np.array([det(100, 100, 200, 300, 0.9)], np.float32)
+    tr.update(d, IMG)
+    eq = np.array([det(101, 101, 201, 301, 0.5)], np.float32)
+    out = tr.update(eq, IMG)
+    # matched via stage 2 -> same track continues with conf 0.5
+    assert out.shape[0] == 1
+    assert out[0, 5] == pytest.approx(0.5)
+
+
+def test_reid_min_fusion_prefers_appearance():
+    tr = small(with_reid=True, appearance_thresh=0.4)
+    ea, eb = _emb([1, 0, 0, 0.1], [0, 1, 0, 0.1])
+    ids = {0: set(), 1: set()}
+    for t in range(10):
+        xa, xb = 100 + 14 * t, 240 - 14 * t
+        dets = np.array(
+            [det(xa, 100, xa + 80, 300), det(xb, 104, xb + 80, 304, 0.85)],
+            np.float32,
+        )
+        out = tr.update(dets, IMG, embs=np.stack([ea, eb]))
+        for r in out:
+            ids[int(r[7])].add(int(r[4]))
+    assert len(ids[0]) == 1 and len(ids[1]) == 1 and ids[0] != ids[1]
+
+
+def test_gmc_warp_follows_pan():
+    import jax.numpy as jnp
+
+    tr = small(with_reid=False)
+    d = np.array([det(100, 100, 200, 300)], np.float32)
+    tr.update(d, IMG)
+    tr.update(d, IMG)
+    warp = jnp.asarray([[1.0, 0.0, 80.0], [0.0, 1.0, 0.0]], jnp.float32)
+    dets = jnp.zeros((16, 6), jnp.float32).at[0].set(
+        jnp.asarray([180.0, 100.0, 280.0, 300.0, 0.9, 0.0])
+    )
+    mask = jnp.zeros((16,), bool).at[0].set(True)
+    new_state, (out, om) = tr._core_step(tr._state, dets, mask, None, warp=warp)
+    rows = np.asarray(out)[np.asarray(om)]
+    assert rows.shape[0] == 1
+    assert abs(rows[0, 0] - 180.0) < 10.0
+
+
+def test_lost_buffer_and_reactivation():
+    tr = small(with_reid=False, track_buffer=25)
+    d = np.array([det(100, 100, 200, 300)], np.float32)
+    tr.update(d, IMG)
+    tid = int(tr.update(d, IMG)[0, 4])
+    far_low = np.array([det(800, 600, 880, 760, 0.3)], np.float32)
+    for _ in range(4):
+        out = tr.update(far_low, IMG)
+        assert all(int(r[4]) != tid for r in out)
+    out = tr.update(d, IMG)
+    assert out.shape[0] >= 1
+    assert tid in set(out[:, 4].astype(int))
