@@ -1,0 +1,152 @@
+"""StrongSORT tests: cascade matching, gallery metric, NSA KF lifecycle."""
+
+import numpy as np
+import pytest
+
+from motcpp_tpu.models.strongsort import StrongSORT
+
+IMG = np.zeros((1080, 1920, 3), np.uint8)
+
+
+def small(**kw):
+    kw.setdefault("max_tracks", 32)
+    kw.setdefault("max_dets", 16)
+    return StrongSORT(**kw)
+
+
+def det(x1, y1, x2, y2, conf=0.9, cls=0):
+    return [x1, y1, x2, y2, conf, cls]
+
+
+def _emb(*vecs):
+    e = np.asarray(vecs, np.float32)
+    return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+
+def test_tentative_until_n_init():
+    tr = small(n_init=3)
+    d = np.array([det(100, 100, 200, 300)], np.float32)
+    assert tr.update(d, IMG).shape[0] == 0  # hits 1, tentative
+    assert tr.update(d, IMG).shape[0] == 0  # hits 2
+    out = tr.update(d, IMG)  # hits 3 -> confirmed
+    assert out.shape[0] == 1
+    assert int(out[0, 4]) == 1
+
+
+def test_tentative_deleted_on_first_miss():
+    tr = small(n_init=3)
+    d = np.array([det(100, 100, 200, 300)], np.float32)
+    tr.update(d, IMG)
+    tr.update(np.zeros((0, 6), np.float32), IMG)  # miss -> deleted
+    # reappear: brand new track must re-run n_init
+    tr.update(d, IMG)
+    tr.update(d, IMG)
+    out = tr.update(d, IMG)
+    assert out.shape[0] == 1
+    assert int(out[0, 4]) == 2  # second id ever issued
+
+
+def test_gallery_appearance_match_after_occlusion():
+    tr = small(n_init=1, max_age=15)
+    e1 = _emb([1, 0, 0, 0.2])
+    d = np.array([det(100, 100, 200, 300)], np.float32)
+    tr.update(d, IMG, embs=e1)  # tentative; confirmation needs a match
+    out = tr.update(d, IMG, embs=e1)
+    tid = int(out[0, 4])
+    # occlusion: 4 empty frames (tsu grows beyond the IoU stage's reach)
+    for _ in range(4):
+        tr.update(np.zeros((0, 6), np.float32), IMG)
+    # reappears NEARBY (within maha gate) with the same appearance:
+    # only the gallery cascade can match it (IoU stage requires tsu==1)
+    d2 = np.array([det(120, 110, 220, 310)], np.float32)
+    out = tr.update(d2, IMG, embs=e1)
+    assert out.shape[0] == 1
+    assert int(out[0, 4]) == tid
+
+
+def test_appearance_disambiguates_crossing():
+    tr = small(n_init=1, mc_lambda=0.98)
+    ea, eb = _emb([1, 0, 0, 0.1], [0, 1, 0, 0.1])
+    ids = {0: set(), 1: set()}
+    for t in range(10):
+        xa, xb = 100 + 14 * t, 240 - 14 * t
+        dets = np.array(
+            [det(xa, 100, xa + 80, 300), det(xb, 104, xb + 80, 304, 0.85)],
+            np.float32,
+        )
+        out = tr.update(dets, IMG, embs=np.stack([ea, eb]))
+        for r in out:
+            ids[int(r[7])].add(int(r[4]))
+    assert len(ids[0]) == 1 and len(ids[1]) == 1 and ids[0] != ids[1]
+
+
+def test_min_conf_filter_inclusive():
+    tr = small(n_init=1, min_conf=0.5)
+    keep = np.array([det(100, 100, 200, 300, 0.5)], np.float32)
+    tr.update(keep, IMG)
+    out = tr.update(keep, IMG)
+    assert out.shape[0] == 1  # conf == min_conf kept (>= semantics)
+    tr2 = small(n_init=1, min_conf=0.5)
+    drop = np.array([det(100, 100, 200, 300, 0.49)], np.float32)
+    tr2.update(drop, IMG)
+    assert tr2.update(drop, IMG).shape[0] == 0
+
+
+def test_iou_stage_rescues_without_features():
+    """No embeddings at all: gallery cost is INFTY, the IoU stage carries
+    the association (reference degrades the same way)."""
+    tr = small(n_init=1)
+    d = np.array([det(100, 100, 200, 300)], np.float32)
+    tr.update(d, IMG)
+    d2 = np.array([det(106, 103, 206, 303)], np.float32)
+    out = tr.update(d2, IMG)
+    assert out.shape[0] == 1
+    tid = int(out[0, 4])
+    out = tr.update(d, IMG)
+    assert out.shape[0] == 1 and int(out[0, 4]) == tid
+
+
+def test_confirmed_track_survives_max_age():
+    tr = small(n_init=1, max_age=3)
+    d = np.array([det(100, 100, 200, 300)], np.float32)
+    e = _emb([1, 0, 0, 0.3])
+    tr.update(d, IMG, embs=e)
+    tr.update(d, IMG, embs=e)  # confirmed here
+    empty = np.zeros((0, 6), np.float32)
+    for _ in range(3):
+        out = tr.update(empty, IMG)
+        assert out.shape[0] == 0
+    # within max_age: still alive, cascade can rematch
+    out = tr.update(d, IMG, embs=e)
+    assert out.shape[0] == 1 and int(out[0, 4]) == 1
+    # beyond max_age the track dies
+    tr2 = small(n_init=1, max_age=2)
+    tr2.update(d, IMG, embs=e)
+    tr2.update(d, IMG, embs=e)  # confirmed
+    for _ in range(4):
+        tr2.update(empty, IMG)
+    tr2.update(d, IMG, embs=e)  # new tentative track
+    out = tr2.update(d, IMG, embs=e)
+    assert out.shape[0] == 1 and int(out[0, 4]) != 1
+
+
+def test_gallery_budget_ring(monkeypatch):
+    tr = small(n_init=1, nn_budget=4, gallery_cap=4)
+    d = np.array([det(100, 100, 200, 300)], np.float32)
+    e = _emb([1, 0, 0, 0.3])
+    for _ in range(10):
+        tr.update(d, IMG, embs=e)
+    state = tr._state
+    # appends start once confirmed (frame 2) -> 9 after 10 frames
+    assert int(np.asarray(state.gallery_count).max()) == 9
+    assert state.gallery.shape[1] == 4  # ring capped at budget
+
+
+def test_nsa_high_conf_tightens_estimate():
+    tr = small(n_init=1)
+    d_hi = np.array([det(100, 100, 200, 300, 0.99)], np.float32)
+    tr.update(d_hi, IMG)
+    tr.update(d_hi, IMG)
+    out = tr.update(np.array([det(120, 100, 220, 300, 0.99)], np.float32), IMG)
+    # NSA with conf ~1 -> near-zero measurement noise -> output snaps to det
+    assert abs(out[0, 0] - 120) < 2.0
