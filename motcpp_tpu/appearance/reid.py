@@ -1,0 +1,182 @@
+"""ReID backend: on-device crop extraction + Flax CNN embeddings.
+
+TPU-native equivalent of the reference's backend contract (reference:
+src/appearance/reid_backend.cpp:10-123, onnx_backend.cpp:110-240):
+
+    get_features(xyxys (N, 4), img) -> (N, D) L2-normalized embeddings
+
+The crop pipeline mirrors the reference exactly — round + clamp the box,
+bilinear-resize to the model's H x W, BGR->RGB, /255, (x - mean)/std —
+but runs as ONE batched jnp gather over all N boxes (no per-crop loop),
+with model-name heuristics for input shape (256x128 default, 256x256
+vehicle, 384x128 lmbn, 160x64 hacnn) and ImageNet-vs-CLIP normalization
+(reid_backend.cpp:88-123). Inference replaces the ONNX-Runtime session
+with a jitted Flax OSNet forward; max-batch chunking is unnecessary
+because N is already fixed-capacity padded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+CLIP_MEAN = (0.5, 0.5, 0.5)
+CLIP_STD = (0.5, 0.5, 0.5)
+
+
+def determine_input_shape(model_name: str):
+    """reference: reid_backend.cpp:88-105."""
+    name = model_name or ""
+    if "vehicleid" in name or "veri" in name:
+        return (256, 256)
+    if "lmbn" in name:
+        return (384, 128)
+    if "hacnn" in name:
+        return (160, 64)
+    return (256, 128)
+
+
+def determine_normalization(model_name: str):
+    """reference: reid_backend.cpp:109-123."""
+    if "clip" in (model_name or ""):
+        return CLIP_MEAN, CLIP_STD
+    return IMAGENET_MEAN, IMAGENET_STD
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def extract_crops(img_bgr, xyxys, crop_hw, norm):
+    """Batched crop + resize + normalize (reference:
+    reid_backend.cpp:10-68).
+
+    img_bgr: (H, W, 3) uint8/float BGR image
+    xyxys: (N, 4) float boxes
+    crop_hw: static (crop_h, crop_w)
+    norm: static ((mean3), (std3)) applied per RGB channel
+    Returns (N, crop_h, crop_w, 3) float32 RGB crops, normalized.
+    """
+    crop_h, crop_w = crop_hw
+    mean, std = norm
+    H, W = img_bgr.shape[0], img_bgr.shape[1]
+    img = img_bgr.astype(jnp.float32)[..., ::-1] / 255.0  # BGR -> RGB, [0,1]
+
+    x1 = jnp.clip(jnp.round(xyxys[:, 0]), 0, W)
+    y1 = jnp.clip(jnp.round(xyxys[:, 1]), 0, H)
+    x2 = jnp.clip(jnp.round(xyxys[:, 2]), 0, W)
+    y2 = jnp.clip(jnp.round(xyxys[:, 3]), 0, H)
+    bw = jnp.maximum(x2 - x1, 1.0)
+    bh = jnp.maximum(y2 - y1, 1.0)
+
+    # cv2.resize INTER_LINEAR sampling: src = (dst + 0.5) * scale - 0.5
+    dy = (jnp.arange(crop_h) + 0.5) * (bh[:, None] / crop_h) - 0.5 + y1[:, None]
+    dx = (jnp.arange(crop_w) + 0.5) * (bw[:, None] / crop_w) - 0.5 + x1[:, None]
+
+    y0 = jnp.floor(dy)
+    x0 = jnp.floor(dx)
+    wy = dy - y0
+    wx = dx - x0
+
+    def sample(yi, xi):
+        yi = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
+        xi = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
+        # (N, crop_h, crop_w, 3) gather
+        return img[yi[:, :, None], xi[:, None, :]]
+
+    tl = sample(y0, x0)
+    tr = sample(y0, x0 + 1)
+    bl = sample(y0 + 1, x0)
+    br = sample(y0 + 1, x0 + 1)
+    wyc = wy[:, :, None, None]
+    wxc = wx[:, None, :, None]
+    crops = (
+        tl * (1 - wyc) * (1 - wxc)
+        + tr * (1 - wyc) * wxc
+        + bl * wyc * (1 - wxc)
+        + br * wyc * wxc
+    )
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
+    return (crops - mean_a) / std_a
+
+
+def normalize_features(feats):
+    """Row-wise L2 with the reference's zero guard
+    (reid_backend.cpp:70-86)."""
+    n = jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    return jnp.where(n > 1e-6, feats / jnp.where(n > 1e-6, n, 1.0), feats)
+
+
+class ReIDBackend:
+    """Host-facing backend mirroring the reference contract.
+
+    Args:
+        weights: optional path to a torchreid checkpoint (.pt/.pth) —
+            converted to Flax params — or a .npz of pre-converted
+            params. Without weights the CNN runs randomly initialized
+            (embeddings are still deterministic and L2-normalized; only
+            useful for shape/throughput work).
+        model_name: drives input-shape and normalization heuristics; when
+            empty, inferred from the weights filename.
+    """
+
+    def __init__(self, weights: str = "", model_name: str = "", seed: int = 0):
+        from motcpp_tpu.appearance.osnet import (
+            init_params,
+            load_torch_weights,
+            osnet_x1_0,
+        )
+
+        if not model_name and weights:
+            model_name = str(weights).rsplit("/", 1)[-1]
+        self.model_name = model_name
+        self.input_shape = determine_input_shape(model_name)
+        self.norm = determine_normalization(model_name)
+        self.model = osnet_x1_0()
+        self.variables = init_params(self.model, self.input_shape, seed)
+        if weights and str(weights).endswith((".pt", ".pth")):
+            self.variables = dict(self.variables)
+            self.variables["params"] = load_torch_weights(
+                self.model, self.variables["params"], weights
+            )
+
+        @jax.jit
+        def _forward(variables, crops):
+            feats = self.model.apply(variables, crops, train=False)
+            return normalize_features(feats)
+
+        self._forward = _forward
+
+    def get_crops(self, xyxys, img):
+        """(N, 3*H*W) CHW-flattened crops — reference output contract
+        (reid_backend.cpp:10-68). Internally NHWC."""
+        crops = extract_crops(
+            jnp.asarray(img), jnp.asarray(xyxys, jnp.float32),
+            self.input_shape, self.norm,
+        )
+        n = crops.shape[0]
+        return np.asarray(
+            jnp.transpose(crops, (0, 3, 1, 2)).reshape(n, -1)
+        )
+
+    def get_features(self, xyxys, img):
+        """(N, D) L2-normalized embeddings (onnx_backend.cpp:110-158)."""
+        xyxys = np.asarray(xyxys, np.float32)
+        if xyxys.shape[0] == 0:
+            return np.zeros((0, self.model.feature_dim), np.float32)
+        crops = extract_crops(
+            jnp.asarray(img), jnp.asarray(xyxys), self.input_shape, self.norm
+        )
+        return np.asarray(self._forward(self.variables, crops))
+
+    def warmup(self):
+        """Compile the forward with a random batch-2 input
+        (onnx_backend.cpp:225-240)."""
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (256, 256, 3), np.uint8)
+        self.get_features(
+            np.asarray([[0, 0, 128, 256], [64, 0, 192, 256]], np.float32), img
+        )

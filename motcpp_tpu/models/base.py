@@ -104,13 +104,17 @@ class BaseTrackerWrapper:
         else:
             emb_pad = np.zeros((self.max_dets, max(self.emb_dim, 1)), np.float32)
 
+        warp = self._compute_warp(img, dets)
+        if warp is None:
+            warp = np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+
         if self._state is None:
             self._state = self._init_state()
         if self._jit_step is None:
             self._jit_step = jax.jit(self._step)
 
         self._state, (out, out_mask) = self._jit_step(
-            self._state, padded, det_mask, emb_pad
+            self._state, padded, det_mask, emb_pad, warp
         )
         out = np.asarray(out)
         out_mask = np.asarray(out_mask)
@@ -148,9 +152,14 @@ class BaseTrackerWrapper:
             self.is_obb = dets.shape[1] == 7
             self._first_dets_processed = True
 
+    def _compute_warp(self, img, dets):
+        """Camera-motion warp hook: CMC-capable trackers return a (2, 3)
+        affine from their estimator; None means identity."""
+        return None
+
     # ------------------------------------------------------ to implement
     def _init_state(self) -> Any:
         raise NotImplementedError
 
-    def _step(self, state, dets, det_mask, embs):
+    def _step(self, state, dets, det_mask, embs, warp):
         raise NotImplementedError

@@ -425,6 +425,7 @@ class BoostTrack(BaseTrackerWrapper):
         )
         self.reid_weights = reid_weights
         self._reid = None
+        self._cmc = None
         self._build(emb_dim)
 
     def _build(self, emb_dim: int):
@@ -446,8 +447,18 @@ class BoostTrack(BaseTrackerWrapper):
             self._state = None
         return super().update(dets, img, embs_arr)
 
-    def _step(self, state, dets, det_mask, embs):
-        return self._core_step(state, dets, det_mask, embs)
+    def _compute_warp(self, img, dets):
+        # ECC when enabled and detections exist (boosttrack.cpp:486-495)
+        if not self.cfg.use_ecc or img is None or dets.shape[0] == 0:
+            return None
+        if self._cmc is None:
+            from motcpp_tpu.motion.cmc import ECC
+
+            self._cmc = ECC()
+        return self._cmc.apply(img, dets)
+
+    def _step(self, state, dets, det_mask, embs, warp):
+        return self._core_step(state, dets, det_mask, embs, warp=warp)
 
     def _init_state(self):
         return self._init()

@@ -444,6 +444,16 @@ class BotSort(BaseTrackerWrapper):
                 self._build(embs_arr.shape[1])
         return super().update(dets, img, embs_arr)
 
+    def _compute_warp(self, img, dets):
+        # GMC via ECC (botsort.cpp:239-242, 316-324)
+        if img is None or self.cfg.cmc_method not in ("ecc", "sof", "sof_jax"):
+            return None
+        if self._cmc is None:
+            from motcpp_tpu.motion.cmc import create_cmc
+
+            self._cmc = create_cmc(self.cfg.cmc_method)
+        return None if self._cmc is None else self._cmc.apply(img, dets)
+
     def _reid_features(self, dets, img):
         if self._reid is None:
             from motcpp_tpu.appearance.reid import ReIDBackend
@@ -451,8 +461,8 @@ class BotSort(BaseTrackerWrapper):
             self._reid = ReIDBackend(self.reid_weights)
         return self._reid.get_features(dets[:, :4], img)
 
-    def _step(self, state, dets, det_mask, embs):
-        return self._core_step(state, dets, det_mask, embs)
+    def _step(self, state, dets, det_mask, embs, warp):
+        return self._core_step(state, dets, det_mask, embs, warp=warp)
 
     def _init_state(self):
         return self._init()

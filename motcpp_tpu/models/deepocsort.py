@@ -537,6 +537,15 @@ class DeepOCSort(BaseTrackerWrapper):
                 self._build(embs_arr.shape[1])
         return super().update(dets, img, embs_arr)
 
+    def _compute_warp(self, img, dets):
+        if self.cfg.cmc_off or img is None or dets.shape[0] == 0:
+            return None
+        if self._cmc is None:
+            from motcpp_tpu.motion.cmc import SOF
+
+            self._cmc = SOF(scale=0.15)  # deepocsort.cpp:553-556
+        return self._cmc.apply(img, dets)
+
     def _reid_features(self, dets, img):
         if self._reid is None:
             from motcpp_tpu.appearance.reid import ReIDBackend
@@ -544,8 +553,8 @@ class DeepOCSort(BaseTrackerWrapper):
             self._reid = ReIDBackend(self.reid_weights)
         return self._reid.get_features(dets[:, :4], img)
 
-    def _step(self, state, dets, det_mask, embs):
-        return self._core_step(state, dets, det_mask, embs)
+    def _step(self, state, dets, det_mask, embs, warp):
+        return self._core_step(state, dets, det_mask, embs, warp=warp)
 
     def _init_state(self):
         return self._init()

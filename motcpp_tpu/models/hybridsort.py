@@ -270,7 +270,7 @@ def make_hybridsort(cfg: HybridSortConfig):
         return (x, P, conf, conf_pre, cls, det_ind, last_obs, obs_ring,
                 obs_age, obs_ptr, tsu, hits, hit_streak, feat, has_feat)
 
-    def step_fn(state: HybridState, dets, det_mask, embs=None):
+    def step_fn(state: HybridState, dets, det_mask, embs=None, warp=None):
         N = dets.shape[0]
         frame = state.frame_count + 1
         det_conf = dets[:, 4]
@@ -291,11 +291,35 @@ def make_hybridsort(cfg: HybridSortConfig):
             dets_feat = jnp.ones((N, D), jnp.float32)
             det_has_feat = jnp.zeros((N,), bool)
 
-        # --- predict with scale clamp (hybridsort.cpp:258-272) -----------
         x = state.x
+        P0_state = state.P
+        # --- CMC camera_update before predict (hybridsort.cpp:91-121):
+        #     rebuild [u,v,s,c,r] from warped corners and ZERO velocities
+        #     (kf.init is called with the new measurement) ----------------
+        if warp is not None:
+            bb = _x_to_bbox(x)
+            ones = jnp.ones_like(bb[:, :1])
+            p1 = jnp.concatenate([bb[:, 0:2], ones], 1) @ warp.T
+            p2 = jnp.concatenate([bb[:, 2:4], ones], 1) @ warp.T
+            wn = p2[:, 0] - p1[:, 0]
+            hn = p2[:, 1] - p1[:, 1]
+            un = p1[:, 0] + wn / 2.0
+            vn = p1[:, 1] + hn / 2.0
+            sn = wn * hn
+            rn = jnp.where(hn > 1e-6, wn / jnp.where(hn > 1e-6, hn, 1.0), 0.0)
+            warped = jnp.stack(
+                [un, vn, sn, x[:, 3], rn], axis=-1
+            )
+            new_x9 = jnp.concatenate(
+                [warped, jnp.zeros((K, 4), jnp.float32)], axis=-1
+            )
+            apply_w = state.active & jnp.any(det_mask)
+            x = jnp.where(apply_w[:, None], new_x9, x)
+
+        # --- predict with scale clamp (hybridsort.cpp:258-272) -----------
         clamp = (x[:, 7] + x[:, 2]) <= 0
         x = x.at[:, 7].set(jnp.where(clamp, 0.0, x[:, 7]))
-        px, pP = _kf_predict(x, state.P)
+        px, pP = _kf_predict(x, P0_state)
         x = jnp.where(state.active[:, None], px, state.x)
         P = jnp.where(state.active[:, None, None], pP, state.P)
         age = jnp.where(state.active, state.age + 1, state.age)
@@ -616,8 +640,18 @@ class HybridSort(BaseTrackerWrapper):
             self._state = None
         return super().update(dets, img, embs_arr)
 
-    def _step(self, state, dets, det_mask, embs):
-        return self._core_step(state, dets, det_mask, embs)
+    def _compute_warp(self, img, dets):
+        # ECC (hybridsort.cpp:846-857)
+        if img is None or dets.shape[0] == 0:
+            return None
+        if getattr(self, "_cmc", None) is None:
+            from motcpp_tpu.motion.cmc import ECC
+
+            self._cmc = ECC()
+        return self._cmc.apply(img, dets)
+
+    def _step(self, state, dets, det_mask, embs, warp):
+        return self._core_step(state, dets, det_mask, embs, warp=warp)
 
     def _init_state(self):
         return self._init()

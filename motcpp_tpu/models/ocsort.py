@@ -521,5 +521,5 @@ class OCSort(BaseTrackerWrapper):
     def _init_state(self):
         return self._init()
 
-    def _step(self, state, dets, det_mask, embs):
+    def _step(self, state, dets, det_mask, embs, warp):
         return self._core_step(state, dets, det_mask)

@@ -381,6 +381,7 @@ class StrongSORT(BaseTrackerWrapper):
         )
         self.reid_weights = reid_weights
         self._reid = None
+        self._cmc = None
         self._build(emb_dim)
 
     def _build(self, emb_dim: int):
@@ -412,6 +413,20 @@ class StrongSORT(BaseTrackerWrapper):
                 self._build(embs_arr.shape[1])
         return super().update(dets, img, embs_arr)
 
+    def _compute_warp(self, img, dets):
+        # ECC on every frame once tracks exist (strongsort.cpp:915-921)
+        if img is None or self._state is None:
+            return None
+        import numpy as np
+
+        if not bool(np.asarray(self._state.sstate != 0).any()):
+            return None
+        if self._cmc is None:
+            from motcpp_tpu.motion.cmc import ECC
+
+            self._cmc = ECC()
+        return self._cmc.apply(img, dets)
+
     def _reid_features(self, dets, img):
         if self._reid is None:
             from motcpp_tpu.appearance.reid import ReIDBackend
@@ -419,8 +434,8 @@ class StrongSORT(BaseTrackerWrapper):
             self._reid = ReIDBackend(self.reid_weights)
         return self._reid.get_features(dets[:, :4], img)
 
-    def _step(self, state, dets, det_mask, embs):
-        return self._core_step(state, dets, det_mask, embs)
+    def _step(self, state, dets, det_mask, embs, warp):
+        return self._core_step(state, dets, det_mask, embs, warp=warp)
 
     def _init_state(self):
         return self._init()

@@ -405,5 +405,5 @@ class UCMCTrack(BaseTrackerWrapper):
     def _init_state(self):
         return self._init()
 
-    def _step(self, state, dets, det_mask, embs):
+    def _step(self, state, dets, det_mask, embs, warp):
         return self._core_step(state, dets, det_mask)

@@ -1,0 +1,10 @@
+"""Motion layer: camera-motion compensation.
+
+The Kalman filters live in ops/kalman (they are compute-path kernels);
+this package holds the image-space CMC estimators that produce the
+(2, 3) affine warps consumed by the tracker cores.
+"""
+
+from motcpp_tpu.motion.cmc import ECC, SOF, SOFJax, create_cmc
+
+__all__ = ["ECC", "SOF", "SOFJax", "create_cmc"]

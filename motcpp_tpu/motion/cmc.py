@@ -1,0 +1,338 @@
+"""Camera-motion compensation: ECC and sparse optical flow.
+
+Host/TPU split: CMC is inherently an image-registration problem over
+consecutive frames. We provide three estimators, all returning the
+reference's (2, 3) affine warp contract (identity on failure):
+
+  * :class:`ECC` — faithful port of the reference's enhanced-correlation
+    alignment (reference: src/motion/cmc/{cmc,ecc}.cpp): grayscale +
+    0.15x downscale preprocessing, cv2.findTransformECC with
+    MOTION_TRANSLATION, translation rescaled by 1/scale, identity on
+    non-convergence. Requires OpenCV (IO layer only — never the compute
+    path).
+  * :class:`SOF` — faithful sparse-optical-flow port (reference:
+    src/motion/cmc/sof.cpp): goodFeaturesToTrack (1000 corners,
+    quality 0.01) + cornerSubPix + pyramidal LK (21x21, 3 levels) +
+    estimateAffinePartial2D RANSAC; < 4 valid points -> identity and
+    re-detect.
+  * :class:`SOFJax` — TPU-native estimator: Harris-corner scoring +
+    multi-scale Lucas-Kanade on a fixed grid of the strongest corners +
+    least-squares partial-affine fit with one residual-trim pass, all in
+    jnp (fixed shapes, jittable). This is the estimator used when
+    OpenCV is unavailable or ``prefer_jax`` is set.
+
+Precomputed warps can always be injected directly at the tracker API
+(``tracker.update(..., warp=...)`` via the functional cores), matching
+how the reference allows precomputed embeddings.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+IDENTITY = np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+
+
+def _to_gray(img):
+    img = np.asarray(img)
+    if img.ndim == 2:
+        return img.astype(np.float32)
+    # BGR weights (reference converts with cv2.cvtColor BGR2GRAY)
+    return (
+        0.114 * img[..., 0] + 0.587 * img[..., 1] + 0.299 * img[..., 2]
+    ).astype(np.float32)
+
+
+class ECC:
+    """Enhanced-correlation-coefficient alignment (translation model)."""
+
+    def __init__(self, scale: float = 0.15, max_iter: int = 100, eps: float = 1e-5):
+        self.scale = scale
+        self.max_iter = max_iter
+        self.eps = eps
+        self._prev = None
+
+    def apply(self, img, dets=None) -> np.ndarray:
+        try:
+            import cv2
+        except ImportError:
+            return IDENTITY.copy()
+        gray = _to_gray(img).astype(np.uint8)
+        small = cv2.resize(gray, None, fx=self.scale, fy=self.scale)
+        if self._prev is None:
+            self._prev = small
+            return IDENTITY.copy()
+        warp = np.eye(2, 3, dtype=np.float32)
+        try:
+            criteria = (
+                cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT,
+                self.max_iter,
+                self.eps,
+            )
+            _, warp = cv2.findTransformECC(
+                self._prev, small, warp, cv2.MOTION_TRANSLATION, criteria
+            )
+            warp = warp.copy()
+            warp[:, 2] /= self.scale  # rescale translation (ecc.cpp:70-80)
+        except cv2.error:
+            warp = IDENTITY.copy()  # StsNoConv -> identity (ecc.cpp:83-90)
+        self._prev = small
+        return warp.astype(np.float32)
+
+    def reset(self):
+        self._prev = None
+
+
+class SOF:
+    """Sparse-optical-flow alignment (reference: sof.cpp:24-180)."""
+
+    def __init__(self, scale: float = 0.15):
+        self.scale = scale
+        self._prev = None
+        self._prev_pts = None
+
+    def apply(self, img, dets=None) -> np.ndarray:
+        try:
+            import cv2
+        except ImportError:
+            return SOFJax().apply(img, dets)
+        gray = _to_gray(img).astype(np.uint8)
+        if self.scale != 1.0:
+            gray = cv2.resize(gray, None, fx=self.scale, fy=self.scale)
+        if self._prev is None:
+            self._prev = gray
+            self._prev_pts = cv2.goodFeaturesToTrack(
+                gray, maxCorners=1000, qualityLevel=0.01, minDistance=1
+            )
+            return IDENTITY.copy()
+        warp = IDENTITY.copy()
+        pts = self._prev_pts
+        if pts is not None and len(pts) >= 4:
+            nxt, st, _ = cv2.calcOpticalFlowPyrLK(
+                self._prev, gray, pts, None,
+                winSize=(21, 21), maxLevel=3,
+            )
+            good = st.reshape(-1) == 1
+            if good.sum() >= 4:
+                m, _ = cv2.estimateAffinePartial2D(
+                    pts[good], nxt[good], method=cv2.RANSAC
+                )
+                if m is not None:
+                    warp = m.astype(np.float32)
+                    warp[:, 2] /= self.scale
+        self._prev = gray
+        self._prev_pts = cv2.goodFeaturesToTrack(
+            gray, maxCorners=1000, qualityLevel=0.01, minDistance=1
+        )
+        return warp
+
+    def reset(self):
+        self._prev = None
+        self._prev_pts = None
+
+
+# ---------------------------------------------------------------------------
+# TPU-native estimator
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("n_corners", "win", "levels")
+)
+def _sof_jax_core(prev, cur, n_corners=256, win=10, levels=3):
+    """Harris corners on prev + pyramidal LK to cur + LS partial affine.
+
+    prev/cur: (H, W) float32 grayscale. Returns ((2,3) warp, ok flag).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def gradients(im):
+        gx = (jnp.roll(im, -1, 1) - jnp.roll(im, 1, 1)) * 0.5
+        gy = (jnp.roll(im, -1, 0) - jnp.roll(im, 1, 0)) * 0.5
+        return gx, gy
+
+    def box_blur(im, r=2):
+        k = 2 * r + 1
+        im = jnp.cumsum(im, axis=0)
+        im = (jnp.roll(im, -r, 0) - jnp.roll(im, r + 1, 0)) / k
+        im = jnp.cumsum(im, axis=1)
+        im = (jnp.roll(im, -r, 1) - jnp.roll(im, r + 1, 1)) / k
+        return im
+
+    H, W = prev.shape
+    gx, gy = gradients(prev)
+    ixx = box_blur(gx * gx)
+    iyy = box_blur(gy * gy)
+    ixy = box_blur(gx * gy)
+    det = ixx * iyy - ixy * ixy
+    tr = ixx + iyy
+    harris = det - 0.04 * tr * tr
+    # suppress borders
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    margin = win + 2
+    border = (yy < margin) | (yy >= H - margin) | (xx < margin) | (xx >= W - margin)
+    harris = jnp.where(border, -jnp.inf, harris)
+    flat = harris.reshape(-1)
+    top = jax.lax.top_k(flat, n_corners)[1]
+    cy = (top // W).astype(jnp.float32)
+    cx = (top % W).astype(jnp.float32)
+
+    def bilinear(im, ys, xs):
+        y0 = jnp.floor(ys)
+        x0 = jnp.floor(xs)
+        wy = ys - y0
+        wx = xs - x0
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+        y1i = jnp.clip(y0i + 1, 0, H - 1)
+        x1i = jnp.clip(x0i + 1, 0, W - 1)
+        return (
+            im[y0i, x0i] * (1 - wy) * (1 - wx)
+            + im[y0i, x1i] * (1 - wy) * wx
+            + im[y1i, x0i] * wy * (1 - wx)
+            + im[y1i, x1i] * wy * wx
+        )
+
+    cgx, cgy = gradients(cur)
+    offs = jnp.arange(-win, win + 1, dtype=jnp.float32)
+    oy = jnp.tile(offs[:, None], (1, 2 * win + 1)).reshape(-1)
+    ox = jnp.tile(offs[None, :], (2 * win + 1, 1)).reshape(-1)
+
+    def lk_level(disp, scale_factor):
+        """One LK iteration set at a pyramid scale (coarse-to-fine)."""
+        dy, dx = disp
+        ys = cy[:, None] + oy[None, :]
+        xs = cx[:, None] + ox[None, :]
+        # template from prev at corner, patch from cur at corner + disp
+        t = bilinear(prev, ys, xs)
+
+        def iterate(carry, _):
+            dy, dx = carry
+            ys2 = ys + dy[:, None]
+            xs2 = xs + dx[:, None]
+            i = bilinear(cur, ys2, xs2)
+            gx_p = bilinear(cgx, ys2, xs2)
+            gy_p = bilinear(cgy, ys2, xs2)
+            err = t - i
+            a11 = jnp.sum(gx_p * gx_p, 1) + 1e-6
+            a12 = jnp.sum(gx_p * gy_p, 1)
+            a22 = jnp.sum(gy_p * gy_p, 1) + 1e-6
+            b1 = jnp.sum(gx_p * err, 1)
+            b2 = jnp.sum(gy_p * err, 1)
+            detA = a11 * a22 - a12 * a12
+            ddx = (a22 * b1 - a12 * b2) / detA
+            ddy = (a11 * b2 - a12 * b1) / detA
+            return (dy + ddy, dx + ddx), None
+
+        (dy, dx), _ = jax.lax.scan(iterate, (dy, dx), None, length=5)
+        return dy, dx
+
+    dy = jnp.zeros_like(cy)
+    dx = jnp.zeros_like(cx)
+    for _ in range(levels):
+        dy, dx = lk_level((dy, dx), 1.0)
+
+    # validity: small residual + reasonable displacement
+    ys2 = cy[:, None] + oy[None, :] + dy[:, None]
+    xs2 = cx[:, None] + ox[None, :] + dx[:, None]
+    t = bilinear(prev, cy[:, None] + oy[None, :], cx[:, None] + ox[None, :])
+    i = bilinear(cur, ys2, xs2)
+    resid = jnp.mean(jnp.abs(t - i), axis=1)
+    disp = jnp.sqrt(dy * dy + dx * dx)
+    ok = (resid < 10.0) & (disp < 0.2 * jnp.float32(max(H, W)))
+
+    # least-squares partial affine [a, -b, tx; b, a, ty] on valid points
+    def fit(mask):
+        wgt = mask.astype(jnp.float32)
+        n = jnp.sum(wgt) + 1e-6
+        px = cx
+        py = cy
+        qx = cx + dx
+        qy = cy + dy
+        mpx = jnp.sum(wgt * px) / n
+        mpy = jnp.sum(wgt * py) / n
+        mqx = jnp.sum(wgt * qx) / n
+        mqy = jnp.sum(wgt * qy) / n
+        cpx = px - mpx
+        cpy = py - mpy
+        cqx = qx - mqx
+        cqy = qy - mqy
+        sxx = jnp.sum(wgt * (cpx * cqx + cpy * cqy))
+        sxy = jnp.sum(wgt * (cpx * cqy - cpy * cqx))
+        d = jnp.sum(wgt * (cpx * cpx + cpy * cpy)) + 1e-6
+        a = sxx / d
+        b = sxy / d
+        tx = mqx - (a * mpx - b * mpy)
+        ty = mqy - (b * mpx + a * mpy)
+        return a, b, tx, ty
+
+    a, b, tx, ty = fit(ok)
+    # one residual trim pass (RANSAC-lite)
+    rx = (a * cx - b * cy + tx) - (cx + dx)
+    ry = (b * cx + a * cy + ty) - (cy + dy)
+    r = jnp.sqrt(rx * rx + ry * ry)
+    ok2 = ok & (r < jnp.maximum(2.0, 2.0 * jnp.median(jnp.where(ok, r, 1e3))))
+    a, b, tx, ty = fit(ok2)
+
+    enough = jnp.sum(ok2.astype(jnp.int32)) >= 4
+    import jax.numpy as jnp2
+
+    warp = jnp2.asarray([[a, -b, tx], [b, a, ty]], jnp2.float32)
+    ident = jnp2.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp2.float32)
+    return jnp2.where(enough, warp, ident), enough
+
+
+class SOFJax:
+    """TPU-native sparse-flow CMC (see module doc)."""
+
+    def __init__(self, scale: float = 0.25, n_corners: int = 256):
+        self.scale = scale
+        self.n_corners = n_corners
+        self._prev = None
+        self._shape = None
+
+    def _downscale(self, gray):
+        h, w = gray.shape
+        nh, nw = max(int(h * self.scale), 32), max(int(w * self.scale), 32)
+        import jax
+
+        return np.asarray(
+            jax.image.resize(gray, (nh, nw), "linear")
+        )
+
+    def apply(self, img, dets=None) -> np.ndarray:
+        import jax.numpy as jnp
+
+        gray = _to_gray(img)
+        small = self._downscale(jnp.asarray(gray))
+        if self._prev is None or self._prev.shape != small.shape:
+            self._prev = small
+            return IDENTITY.copy()
+        warp, _ = _sof_jax_core(
+            jnp.asarray(self._prev), jnp.asarray(small),
+            n_corners=self.n_corners,
+        )
+        warp = np.array(warp)  # copy: jnp arrays are read-only
+        warp[:, 2] /= self.scale
+        self._prev = small
+        return warp
+
+    def reset(self):
+        self._prev = None
+
+
+def create_cmc(method: str = "ecc", prefer_jax: bool = False):
+    """Factory mirroring the reference's cmc_method dispatch."""
+    if method in ("", "none", None):
+        return None
+    if prefer_jax or method == "sof_jax":
+        return SOFJax()
+    if method == "sof":
+        return SOF()
+    if method == "ecc":
+        return ECC()
+    raise ValueError(f"Unknown cmc method: {method}")

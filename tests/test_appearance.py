@@ -1,0 +1,98 @@
+"""Appearance layer tests: crop pipeline, OSNet forward, backend contract."""
+
+import numpy as np
+import pytest
+
+from motcpp_tpu.appearance.reid import (
+    ReIDBackend,
+    determine_input_shape,
+    determine_normalization,
+    extract_crops,
+)
+
+
+def test_input_shape_heuristics():
+    # reference: reid_backend.cpp:88-105
+    assert determine_input_shape("osnet_x1_0_dukemtmcreid") == (256, 128)
+    assert determine_input_shape("resnet50_vehicleid") == (256, 256)
+    assert determine_input_shape("model_veri776") == (256, 256)
+    assert determine_input_shape("lmbn_n_cuhk03") == (384, 128)
+    assert determine_input_shape("hacnn_market") == (160, 64)
+    assert determine_input_shape("") == (256, 128)
+
+
+def test_normalization_heuristics():
+    m, s = determine_normalization("clip_market1501")
+    assert m == (0.5, 0.5, 0.5) and s == (0.5, 0.5, 0.5)
+    m, s = determine_normalization("osnet_x1_0")
+    assert m == (0.485, 0.456, 0.406)
+
+
+def test_extract_crops_solid_color():
+    """A solid-color crop region must produce the exact normalized value
+    everywhere (validates clamp + BGR->RGB + normalize)."""
+    import jax.numpy as jnp
+
+    img = np.zeros((100, 200, 3), np.uint8)
+    img[20:60, 30:90] = (255, 0, 0)  # pure BLUE in BGR
+    boxes = jnp.asarray([[30.0, 20.0, 90.0, 60.0]])
+    crops = np.asarray(
+        extract_crops(jnp.asarray(img), boxes, (32, 16),
+                      ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)))
+    )
+    assert crops.shape == (1, 32, 16, 3)
+    # RGB: R=0, G=0, B=1 after BGR->RGB
+    np.testing.assert_allclose(crops[0, 16, 8, 2], (1.0 - 0.406) / 0.225, atol=1e-3)
+    np.testing.assert_allclose(crops[0, 16, 8, 0], (0.0 - 0.485) / 0.229, atol=1e-3)
+
+
+def test_extract_crops_out_of_bounds_clamped():
+    import jax.numpy as jnp
+
+    img = np.full((50, 50, 3), 128, np.uint8)
+    boxes = jnp.asarray([[-20.0, -20.0, 70.0, 70.0], [40.0, 40.0, 60.0, 60.0]])
+    crops = np.asarray(
+        extract_crops(jnp.asarray(img), boxes, (16, 8),
+                      ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))
+    )
+    assert np.all(np.isfinite(crops))
+    np.testing.assert_allclose(crops, 128 / 255.0, atol=1e-3)
+
+
+def test_backend_get_features_contract():
+    be = ReIDBackend(model_name="osnet_x1_0_test")
+    img = np.random.default_rng(0).integers(0, 255, (240, 320, 3), np.uint8)
+    boxes = np.asarray(
+        [[10, 10, 60, 150], [100, 30, 160, 200]], np.float32
+    )
+    feats = be.get_features(boxes, img)
+    assert feats.shape == (2, 512)
+    np.testing.assert_allclose(
+        np.linalg.norm(feats, axis=1), 1.0, atol=1e-4
+    )
+    # deterministic
+    feats2 = be.get_features(boxes, img)
+    np.testing.assert_allclose(feats, feats2, atol=1e-6)
+    # empty input
+    assert be.get_features(np.zeros((0, 4), np.float32), img).shape == (0, 512)
+
+
+def test_backend_get_crops_chw_contract():
+    be = ReIDBackend(model_name="hacnn_tiny")  # 160x64 input
+    img = np.zeros((100, 100, 3), np.uint8)
+    out = be.get_crops(np.asarray([[0, 0, 50, 100]], np.float32), img)
+    assert out.shape == (1, 3 * 160 * 64)
+
+
+def test_osnet_feature_discrimination():
+    """Different crops produce different embeddings; identical crops
+    produce identical ones (even with random init)."""
+    be = ReIDBackend()
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (200, 300, 3), np.uint8)
+    boxes = np.asarray(
+        [[0, 0, 60, 180], [0, 0, 60, 180], [200, 20, 280, 190]], np.float32
+    )
+    f = be.get_features(boxes, img)
+    np.testing.assert_allclose(f[0], f[1], atol=1e-5)
+    assert np.linalg.norm(f[0] - f[2]) > 1e-3

@@ -1,0 +1,103 @@
+"""CMC estimator tests: ECC, SOF, and the TPU-native SOFJax."""
+
+import numpy as np
+import pytest
+
+from motcpp_tpu.motion.cmc import ECC, SOF, SOFJax, create_cmc
+
+
+def _textured(h=240, w=320, seed=0):
+    """Smooth multi-scale noise that survives the estimators' heavy
+    downscaling (the reference preprocesses at 0.15x)."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.float32)
+    for scale in (4, 8, 16, 32):
+        small = rng.random((h // scale + 2, w // scale + 2)).astype(np.float32)
+        up = np.kron(small, np.ones((scale, scale), np.float32))[:h, :w]
+        img += up
+    img = (img - img.min()) / (img.max() - img.min()) * 255
+    img = img.astype(np.uint8)
+    return np.stack([img] * 3, axis=-1)
+
+
+def _shift(img, dx, dy):
+    out = np.zeros_like(img)
+    h, w = img.shape[:2]
+    out[max(0, dy):h + min(0, dy), max(0, dx):w + min(0, dx)] = img[
+        max(0, -dy):h + min(0, -dy), max(0, -dx):w + min(0, -dx)
+    ]
+    return out
+
+
+def test_factory():
+    assert create_cmc("none") is None
+    assert isinstance(create_cmc("ecc"), ECC)
+    assert isinstance(create_cmc("sof"), SOF)
+    assert isinstance(create_cmc("sof_jax"), SOFJax)
+    with pytest.raises(ValueError):
+        create_cmc("bogus")
+
+
+def test_first_frame_identity():
+    for est in (ECC(), SOF(), SOFJax()):
+        w = est.apply(_textured())
+        np.testing.assert_allclose(w, [[1, 0, 0], [0, 1, 0]], atol=1e-6)
+
+
+@pytest.mark.parametrize("est_cls", [ECC, SOF])
+def test_translation_recovered_cv(est_cls):
+    cv2 = pytest.importorskip("cv2")
+    est = est_cls()
+    img = _textured()
+    est.apply(img)
+    shifted = _shift(img, 16, 8)
+    w = est.apply(shifted)
+    # translation should be recovered within a couple of pixels
+    assert abs(w[0, 2] - 16) < 4.0, w
+    assert abs(w[1, 2] - 8) < 4.0, w
+
+
+def test_translation_recovered_jax():
+    est = SOFJax(scale=0.5)
+    img = _textured(seed=3)
+    est.apply(img)
+    shifted = _shift(img, 12, 6)
+    w = est.apply(shifted)
+    assert abs(w[0, 2] - 12) < 5.0, w
+    assert abs(w[1, 2] - 6) < 5.0, w
+    # rotation part ~ identity
+    np.testing.assert_allclose(w[:, :2], np.eye(2), atol=0.05)
+
+
+def test_static_scene_identityish():
+    est = SOFJax(scale=0.5)
+    img = _textured(seed=5)
+    est.apply(img)
+    w = est.apply(img)
+    np.testing.assert_allclose(w[:, 2], 0.0, atol=1.5)
+    np.testing.assert_allclose(w[:, :2], np.eye(2), atol=0.02)
+
+
+def test_deepocsort_pan_following_via_cmc():
+    """End-to-end: a camera pan with a static object — SOF warp keeps the
+    identity stable even though the box jumps in image space."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from motcpp_tpu.models.deepocsort import DeepOCSort
+
+    tr = DeepOCSort(
+        min_hits=1, embedding_off=True, cmc_off=False,
+        max_tracks=16, max_dets=8,
+    )
+    scene = _textured(480, 640, seed=7)
+    ids = set()
+    for t in range(6):
+        pan = 25 * t
+        img = _shift(scene, pan, 0)
+        x = 100 + pan  # static object moves with the camera
+        dets = np.array([[x, 120, x + 70, 320, 0.9, 0]], np.float32)
+        out = tr.update(dets, img)
+        for r in out:
+            ids.add(int(r[4]))
+    assert len(ids) == 1
