@@ -1,0 +1,111 @@
+"""Metric-layer tests with hand-computable scenarios."""
+
+import numpy as np
+import pytest
+
+from motcpp_tpu.metrics import (
+    clear_metrics,
+    hota_metrics,
+    identity_metrics,
+    load_mot_file,
+)
+
+
+def _seq(rows):
+    """rows: (frame, id, x1, y1, x2, y2) -> metric input dict."""
+    frames = {}
+    for f, tid, x1, y1, x2, y2 in rows:
+        frames.setdefault(f, []).append((tid, x1, y1, x2, y2, 1.0))
+    return {
+        f: (
+            np.asarray([r[0] for r in rr], int),
+            np.asarray([r[1:5] for r in rr], float),
+            np.asarray([r[5] for r in rr]),
+        )
+        for f, rr in frames.items()
+    }
+
+
+GT = _seq([(f, 1, 0, 0, 100, 100) for f in range(1, 11)]
+          + [(f, 2, 300, 300, 400, 400) for f in range(1, 11)])
+
+
+def test_perfect_tracking():
+    pred = GT
+    c = clear_metrics(GT, pred)
+    assert c["MOTA"] == pytest.approx(100.0)
+    assert c["MOTP"] == pytest.approx(100.0)
+    assert c["IDSW"] == 0 and c["MT"] == 2 and c["ML"] == 0
+    i = identity_metrics(GT, pred)
+    assert i["IDF1"] == pytest.approx(100.0)
+    h = hota_metrics(GT, pred)
+    assert h["HOTA"] == pytest.approx(100.0, abs=1e-6)
+
+
+def test_half_detections_missed():
+    pred = _seq([(f, 1, 0, 0, 100, 100) for f in range(1, 11)])
+    c = clear_metrics(GT, pred)
+    # 10 FN out of 20 GT -> MOTA 50
+    assert c["FN"] == 10 and c["FP"] == 0
+    assert c["MOTA"] == pytest.approx(50.0)
+    i = identity_metrics(GT, pred)
+    # IDTP 10, IDFN 10, IDFP 0 -> IDF1 = 10/(10+5) = 66.67
+    assert i["IDF1"] == pytest.approx(100 * 10 / 15, abs=0.01)
+
+
+def test_identity_switch_counted():
+    # one object tracked with id 7 for 5 frames then id 8
+    pred = _seq([(f, 7, 0, 0, 100, 100) for f in range(1, 6)]
+                + [(f, 8, 0, 0, 100, 100) for f in range(6, 11)]
+                + [(f, 9, 300, 300, 400, 400) for f in range(1, 11)])
+    c = clear_metrics(GT, pred)
+    assert c["IDSW"] == 1
+    assert c["MOTA"] == pytest.approx(100.0 * (1 - 1 / 20))
+    i = identity_metrics(GT, pred)
+    # best identity match keeps 5+10 of 20
+    assert i["IDTP"] == 15
+    h = hota_metrics(GT, pred)
+    assert 50 < h["HOTA"] < 100
+    # association error reflected in AssA, not DetA
+    assert h["DetA"] == pytest.approx(100.0, abs=1e-6)
+    assert h["AssA"] < 100
+
+
+def test_false_positives():
+    pred = _seq([(f, 1, 0, 0, 100, 100) for f in range(1, 11)]
+                + [(f, 2, 300, 300, 400, 400) for f in range(1, 11)]
+                + [(f, 3, 600, 600, 700, 700) for f in range(1, 11)])
+    c = clear_metrics(GT, pred)
+    assert c["FP"] == 10
+    assert c["MOTA"] == pytest.approx(50.0)
+
+
+def test_fragmented_but_consistent_vs_switched():
+    """HOTA AssA should prefer consistent ids over switched ones."""
+    consistent = _seq([(f, 5, 0, 0, 100, 100) for f in range(1, 11)]
+                      + [(f, 6, 300, 300, 400, 400) for f in range(1, 11)])
+    switched = _seq(
+        [(f, 5, 0, 0, 100, 100) for f in range(1, 6)]
+        + [(f, 6, 0, 0, 100, 100) for f in range(6, 11)]
+        + [(f, 7, 300, 300, 400, 400) for f in range(1, 6)]
+        + [(f, 8, 300, 300, 400, 400) for f in range(6, 11)]
+    )
+    a = hota_metrics(GT, consistent)["AssA"]
+    b = hota_metrics(GT, switched)["AssA"]
+    assert a > b
+
+
+def test_load_mot_file_gt_filtering(tmp_path):
+    p = tmp_path / "gt.txt"
+    p.write_text(
+        "1,1,10,10,20,20,1,1,1.0\n"   # keep
+        "1,2,50,50,20,20,0,1,1.0\n"   # consider=0 -> drop
+        "1,3,90,90,20,20,1,13,1.0\n"  # class 13 -> drop
+        "2,1,11,11,20,20,1,1,1.0\n"
+    )
+    gt = load_mot_file(p, is_gt=True)
+    assert set(gt) == {1, 2}
+    assert len(gt[1][0]) == 1
+    # predictions keep everything
+    pred = load_mot_file(p)
+    assert len(pred[1][0]) == 3
