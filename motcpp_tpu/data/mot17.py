@@ -206,9 +206,14 @@ class MOT17Dataset:
             for i in range(detections[frame_id].shape[0]):
                 det_frame_map.append(frame_id)
         try:
-            embs = np.loadtxt(emb_path, dtype=np.float32, ndmin=2)
-        except ValueError:
-            return {}
+            from motcpp_tpu.utils import native_io
+
+            embs = native_io.parse_embeddings(emb_path)
+        except Exception:
+            try:
+                embs = np.loadtxt(emb_path, dtype=np.float32, ndmin=2)
+            except ValueError:
+                return {}
         out: dict[int, list] = {}
         for idx in range(min(len(det_frame_map), embs.shape[0])):
             out.setdefault(det_frame_map[idx], []).append(embs[idx])

@@ -34,6 +34,13 @@ def write_mot_results(output_path, mot_results: np.ndarray) -> None:
     """Append rows in the reference's exact text format (ints for
     frame/id/box/world fields, %.6f confidence)."""
     output_path = os.fspath(output_path)
+    try:
+        from motcpp_tpu.utils import native_io
+
+        if native_io.write_mot(output_path, np.asarray(mot_results)):
+            return
+    except Exception:
+        pass
     parent = os.path.dirname(output_path)
     if parent:
         os.makedirs(parent, exist_ok=True)
