@@ -50,7 +50,8 @@ def synth_stream_dets(rng, T, S, N, n_obj=16, img_w=1920, img_h=1080):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tracker", default="sort")
+    ap.add_argument("--tracker", default="bytetrack",
+                    choices=["sort", "bytetrack", "ocsort"])
     ap.add_argument("--streams", type=int, default=128)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--repeats", type=int, default=5)
@@ -82,6 +83,25 @@ def main():
             lap_impl=args.lap,
         )
         init_fn, step_fn = make_sort(cfg)
+    elif args.tracker == "bytetrack":
+        from motcpp_tpu.models.bytetrack import ByteTrackConfig, make_bytetrack
+
+        cfg = ByteTrackConfig(
+            max_tracks=args.max_tracks,
+            max_dets=args.max_dets,
+            lap_impl=args.lap,
+        )
+        init_fn, step_fn = make_bytetrack(cfg)
+    elif args.tracker == "ocsort":
+        from motcpp_tpu.models.ocsort import OCSortConfig, make_ocsort
+
+        cfg = OCSortConfig(
+            min_hits=1,
+            max_tracks=args.max_tracks,
+            max_dets=args.max_dets,
+            lap_impl=args.lap,
+        )
+        init_fn, step_fn = make_ocsort(cfg)
     else:
         raise SystemExit(f"unknown tracker {args.tracker}")
 
@@ -93,18 +113,27 @@ def main():
     dets_j = jnp.asarray(dets)
     masks_j = jnp.asarray(masks)
 
-    # compile + warm up
+    # compile + warm up. NOTE: materialize a scalar, not just
+    # block_until_ready — under the axon remote platform an aborted
+    # computation "completes" instantly and only raises when values are
+    # fetched, which silently produces nonsense timings otherwise.
     t0 = time.time()
     out = runner.run(dets_j, masks_j)
-    jax.block_until_ready(out)
+    emissions = int(np.asarray(out[1]).sum())
     compile_s = time.time() - t0
-    print(f"# compile+first rollout: {compile_s:.1f}s", file=sys.stderr)
+    print(
+        f"# compile+first rollout: {compile_s:.1f}s "
+        f"({emissions} track emissions)",
+        file=sys.stderr,
+    )
+    if emissions == 0:
+        print("# WARNING: no tracks emitted — check inputs", file=sys.stderr)
 
     # steady state (reuse carry state — continuous streaming)
     t0 = time.time()
     for _ in range(args.repeats):
         out = runner.run(dets_j, masks_j)
-    jax.block_until_ready(out)
+        float(np.asarray(out[0][-1]).ravel()[0])  # force + validate
     dt = (time.time() - t0) / args.repeats
 
     frames_tracked = S * T
