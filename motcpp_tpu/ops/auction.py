@@ -4,23 +4,33 @@ The exact JV solver in ops/lap.py runs O(R) sequential Dijkstras whose
 inner steps are tiny scatters/argmins — correct, but latency-bound on
 TPU (profiled: SORT throughput flat in stream count because the solver
 dominates). This module implements Bertsekas' auction algorithm in its
-Jacobi (all-rows-bid-simultaneously) form: every round is a handful of
-dense (R, C) broadcast ops — max, second-max, segment-max by column —
-that vectorize perfectly over streams, and convergence takes tens of
-rounds on tracking-shaped problems instead of thousands of steps.
+Jacobi (all-rows-bid-simultaneously) form: every bidding round is a
+handful of dense (R, C) broadcasts that vectorize perfectly over
+streams.
+
+Epsilon choice. Auction rounds are only numerous when contested options
+are near-ties (a bidding war's length is the contested surplus divided
+by epsilon); distinct-cost matchings resolve in a few rounds because the
+bid increment is the top-2 margin, not epsilon. We therefore run a
+single phase with epsilon proportional to the instance's benefit range
+(``range / 256`` by default) rather than a tiny fixed epsilon — profiled
+on TPU, a fixed 1e-4 epsilon degenerated into ~thousands of rounds on
+dense near-tie matrices. (A coarse-to-fine epsilon schedule is unsound
+here: with the null opt-out option prices only ever rise, so coarse-
+phase price inflation would permanently exclude marginal rows.)
 
 Semantics match :func:`motcpp_tpu.ops.lap.solve_lap_masked` (the
 reference's cost-limit padding, lap_solver.hpp:296-320) up to
-eps-optimality: the returned matching's total cost is within
-``n * eps`` of optimal, so it can differ from the exact solver only
-when two matchings' totals are closer than that (~1e-2 for default
-eps on <=128-slot problems) — far below any tracking-metric
-resolution. Exactness-sensitive paths (host linear_assignment, unit
-tests) keep the JV solver.
+eps-optimality: the matching's total cost is within
+``n_matched * eps`` of optimal, so it can differ from the exact solver
+only for near-tie alternatives — below tracking-metric resolution.
+Exactness-sensitive paths (host linear_assignment, unit tests) keep the
+JV solver; every tracker accepts ``lap_impl`` to choose.
 
 Opt-out economics: rows may take a virtual "null" object with benefit 0
 and unlimited supply, realizing the cost-limit semantics — an edge is
 only ever matched when ``cost < thresh`` makes its benefit positive.
+Prices only increase, so opting out is correctly permanent.
 """
 
 from __future__ import annotations
@@ -36,28 +46,29 @@ def solve_lap_auction(
     row_mask: jnp.ndarray,
     col_mask: jnp.ndarray,
     thresh,
-    eps: float = 1e-4,
-    max_rounds: int = 2000,
+    eps_frac: float = 1.0 / 256.0,
+    max_rounds: int = 1000,
 ):
-    """Masked assignment with cost limit via eps-scaled Jacobi auction.
+    """Masked assignment with cost limit via Jacobi auction.
 
     Same signature/return as solve_lap_masked: (row2col, col2row) int32
-    with -1 for unmatched.
+    with -1 for unmatched. eps = benefit_range * eps_frac.
     """
     R, C = cost.shape
     cost = cost.astype(jnp.float32)
     thresh = jnp.asarray(thresh, jnp.float32)
     pair_ok = row_mask[:, None] & col_mask[None, :] & jnp.isfinite(cost)
-    # benefit of matching; only positive-benefit edges are ever taken
     b = jnp.where(pair_ok, thresh - cost, NEG)
 
-    # rows with no positive edge are immediately null-assigned
+    b_max = jnp.maximum(jnp.max(jnp.where(pair_ok, b, 0.0)), 1e-6)
+    eps = jnp.maximum(b_max * eps_frac, 1e-7)
+
     rows = jnp.arange(R, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
 
     def cond(st):
         rounds, p, r2c, _ = st
-        unassigned = row_mask & (r2c == -1)
-        return jnp.any(unassigned) & (rounds < max_rounds)
+        return jnp.any(row_mask & (r2c == -1)) & (rounds < max_rounds)
 
     def body(st):
         rounds, p, r2c, c2r = st
@@ -66,51 +77,46 @@ def solve_lap_auction(
         v = b - p[None, :]  # (R, C)
         v1 = jnp.max(v, axis=1)
         j_star = jnp.argmax(v, axis=1).astype(jnp.int32)
-        v_wo = v.at[rows, j_star].set(NEG)
-        v2 = jnp.max(v_wo, axis=1)
-        v2 = jnp.maximum(v2, 0.0)  # the null option is the runner-up floor
+        # mask the best column via broadcast compare (TPU scatters with
+        # batched dynamic indices are serialization-slow)
+        one_hot_best = cols[None, :] == j_star[:, None]
+        v_wo = jnp.where(one_hot_best, NEG, v)
+        v2 = jnp.maximum(jnp.max(v_wo, axis=1), 0.0)  # null is the floor
 
         bidding = unassigned & (v1 > 0.0)
-        nulled = unassigned & (v1 <= 0.0)
-        r2c = jnp.where(nulled, -2, r2c)  # -2 = permanently opted out
+        r2c = jnp.where(unassigned & (v1 <= 0.0), -2, r2c)  # opt out
 
-        bid = v1 - v2 + eps  # price increment
-        bid_price = p[j_star] + bid
-        # column-wise highest bid (segment max via dense one-hot)
+        bid_price = p[j_star] + (v1 - v2) + eps
         bid_mat = jnp.where(
-            bidding[:, None] & (j_star[:, None] == jnp.arange(C)[None, :]),
-            bid_price[:, None],
-            NEG,
+            bidding[:, None] & one_hot_best, bid_price[:, None], NEG
         )
-        best_bid = jnp.max(bid_mat, axis=0)  # (C,)
+        best_bid = jnp.max(bid_mat, axis=0)
         winner = jnp.argmax(bid_mat, axis=0).astype(jnp.int32)
         has_bid = best_bid > NEG / 2
 
         p = jnp.where(has_bid, best_bid, p)
-        # evict previous owners of re-auctioned columns
-        old_owner = jnp.where(has_bid, c2r, -1)
-        evicted = jnp.zeros((R,), bool).at[
-            jnp.where(old_owner >= 0, old_owner, R)
-        ].set(True, mode="drop")
+        # evictions and wins as (R, C) broadcasts, scatter-free
+        evicted = jnp.any(
+            has_bid[None, :] & (c2r[None, :] == rows[:, None]), axis=1
+        )
         r2c = jnp.where(evicted, -1, r2c)
-        # assign winners
         c2r = jnp.where(has_bid, winner, c2r)
-        # a row bids for exactly one column per round, so it can win at
-        # most one — the scatter below never collides
-        won_col = jnp.full((R,), -1, jnp.int32).at[
-            jnp.where(has_bid, winner, R)
-        ].set(jnp.arange(C, dtype=jnp.int32), mode="drop")
-        r2c = jnp.where(won_col >= 0, won_col, r2c)
+        win_mask = has_bid[None, :] & (winner[None, :] == rows[:, None])
+        won = jnp.any(win_mask, axis=1)
+        won_col = jnp.argmax(win_mask, axis=1).astype(jnp.int32)
+        r2c = jnp.where(won, won_col, r2c)
         return rounds + 1, p, r2c, c2r
 
     p0 = jnp.zeros((C,), jnp.float32)
     r2c0 = jnp.where(row_mask, -1, -2).astype(jnp.int32)
     c2r0 = jnp.full((C,), -1, jnp.int32)
-    _, _, r2c, c2r = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), p0, r2c0, c2r0))
+    _, _, r2c, _ = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), p0, r2c0, c2r0)
+    )
 
     row2col = jnp.where(r2c >= 0, r2c, -1)
-    # rebuild col2row from row2col for consistency
-    col2row = jnp.full((C,), -1, jnp.int32).at[
-        jnp.where(row2col >= 0, row2col, C)
-    ].set(rows, mode="drop")
+    inv = (row2col[:, None] == cols[None, :]) & (row2col >= 0)[:, None]
+    col2row = jnp.where(
+        jnp.any(inv, axis=0), jnp.argmax(inv, axis=0).astype(jnp.int32), -1
+    )
     return row2col, col2row
