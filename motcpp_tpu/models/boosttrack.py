@@ -133,7 +133,9 @@ def _kf_predict(x, P):
 def _kf_update(x, P, z):
     S = P[..., :4, :4] + _R
     PHt = P[..., :, :4]
-    Kg = jnp.swapaxes(jnp.linalg.solve(S, jnp.swapaxes(PHt, -1, -2)), -1, -2)
+    from motcpp_tpu.ops.linalg import solve_spd
+
+    Kg = jnp.swapaxes(solve_spd(S, jnp.swapaxes(PHt, -1, -2)), -1, -2)
     innov = z - x[..., :4]
     new_x = x + jnp.einsum("...ij,...j->...i", Kg, innov)
     KS = jnp.einsum("...ij,...jk->...ik", Kg, S)

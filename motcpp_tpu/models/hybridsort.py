@@ -168,7 +168,9 @@ def _kf_update(x, P, z):
     """Plain (I - KH) P update (hybridsort.cpp:73-90)."""
     S = P[:, :5, :5] + _R5
     PHt = P[:, :, :5]
-    Kg = jnp.swapaxes(jnp.linalg.solve(S, jnp.swapaxes(PHt, -1, -2)), -1, -2)
+    from motcpp_tpu.ops.linalg import solve_spd
+
+    Kg = jnp.swapaxes(solve_spd(S, jnp.swapaxes(PHt, -1, -2)), -1, -2)
     innov = z - x[:, :5]
     new_x = x + jnp.einsum("kij,kj->ki", Kg, innov)
     KH = jnp.zeros_like(P).at[:, :, :5].set(Kg)

@@ -103,14 +103,16 @@ class GaussianKF:
 
         K = P H' S^-1 solved as a batched (d, d) linear system; the
         reference's Cholesky-solve with pseudo-inverse fallback becomes a
-        single ``jnp.linalg.solve`` (XLA handles conditioning; NaN guards
+        single closed-form SPD solve (XLA handles conditioning; NaN guards
         live in the tracker lifecycle like the reference's NaN pruning).
         """
         d = self.ndim
         proj_mean, S = self.project(mean, cov, nsa_conf)
         PHt = cov[..., :, :d]  # (2d, d) = P H'
         # K = PHt S^-1  ->  K' = S^-1 PHt'  (S symmetric)
-        K = jnp.linalg.solve(S, jnp.swapaxes(PHt, -1, -2))
+        from motcpp_tpu.ops.linalg import solve_spd
+
+        K = solve_spd(S, jnp.swapaxes(PHt, -1, -2))
         K = jnp.swapaxes(K, -1, -2)  # (..., 2d, d)
         innovation = measurement - proj_mean
         new_mean = mean + jnp.einsum("...ij,...j->...i", K, innovation)
@@ -135,7 +137,9 @@ class GaussianKF:
         if only_position:
             diff = diff[..., :2]
             S = S[..., :2, :2]
-        sol = jnp.linalg.solve(S, jnp.swapaxes(diff, -1, -2))
+        from motcpp_tpu.ops.linalg import solve_spd
+
+        sol = solve_spd(S, jnp.swapaxes(diff, -1, -2))
         return jnp.sum(jnp.swapaxes(sol, -1, -2) * diff, axis=-1)
 
 

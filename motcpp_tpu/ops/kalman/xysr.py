@@ -98,7 +98,9 @@ def xysr_update(
     y = z - x[..., :DIM_Z]
     S = P[..., :DIM_Z, :DIM_Z] + jnp.diag(R)
     PHt = P[..., :, :DIM_Z]  # (..., 7, 4)
-    K = jnp.swapaxes(jnp.linalg.solve(S, jnp.swapaxes(PHt, -1, -2)), -1, -2)
+    from motcpp_tpu.ops.linalg import solve_spd
+
+    K = jnp.swapaxes(solve_spd(S, jnp.swapaxes(PHt, -1, -2)), -1, -2)
 
     new_x = x + jnp.einsum("...ij,...j->...i", K, y)
 
