@@ -52,7 +52,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tracker", default="bytetrack",
                     choices=["sort", "bytetrack", "ocsort"])
-    ap.add_argument("--streams", type=int, default=512)
+    ap.add_argument("--streams", type=int, default=1024)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--max-tracks", type=int, default=64)

@@ -166,6 +166,10 @@ def solve_lap_masked(
         from motcpp_tpu.ops.auction import solve_lap_auction
 
         return solve_lap_auction(cost, row_mask, col_mask, thresh)
+    if impl == "auction_pallas":
+        from motcpp_tpu.ops.auction_pallas import solve_lap_auction_pallas
+
+        return solve_lap_auction_pallas(cost, row_mask, col_mask, thresh)
     R, C = cost.shape
     thresh = jnp.asarray(thresh, cost.dtype)
     aug = _augmented_cost(cost.astype(jnp.float32), row_mask, col_mask, thresh)

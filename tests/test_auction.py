@@ -99,3 +99,36 @@ def test_sort_auction_equals_jv_on_separated_scene():
     outs_au = run("auction")
     for a, b in zip(outs_jv, outs_au):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_pallas_auction_matches_jnp(rng):
+    """The Pallas kernel (interpret mode on CPU) must produce the same
+    matchings as the jnp auction."""
+    import jax
+    import jax.numpy as jnp
+
+    from motcpp_tpu.ops.auction_pallas import solve_lap_auction_pallas
+
+    for _ in range(5):
+        cost = rng.random((12, 8)).astype(np.float32)
+        rm = jnp.asarray(rng.random(12) > 0.2)
+        cm = jnp.asarray(rng.random(8) > 0.2)
+        r_p, c_p = solve_lap_auction_pallas(jnp.asarray(cost), rm, cm, 0.7)
+        r_a, c_a = solve_lap_auction(jnp.asarray(cost), rm, cm, 0.7)
+        np.testing.assert_array_equal(np.asarray(r_p), np.asarray(r_a))
+        np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_a))
+
+
+def test_pallas_auction_in_tracker():
+    """lap_impl='auction_pallas' drives a tracker end-to-end."""
+    from motcpp_tpu.models.sort import Sort
+
+    IMG = np.zeros((480, 640, 3), np.uint8)
+    tr = Sort(min_hits=1, max_age=3, max_tracks=16, max_dets=8,
+              lap_impl="auction_pallas")
+    ids = set()
+    for t in range(6):
+        d = np.array([[10 + 5 * t, 10, 60 + 5 * t, 110, 0.9, 0]], np.float32)
+        out = tr.update(d, IMG)
+        ids.update(out[:, 4].astype(int))
+    assert ids == {1}
