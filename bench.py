@@ -26,6 +26,7 @@ import numpy as np
 
 def synth_stream_dets(rng, T, S, N, n_obj=16, img_w=1920, img_h=1080):
     """Jittered constant-velocity boxes with occasional dropouts."""
+    n_obj = min(n_obj, N)
     dets = np.zeros((T, S, N, 6), np.float32)
     masks = np.zeros((T, S, N), bool)
     cx = rng.uniform(100, img_w - 100, (S, n_obj)).astype(np.float32)
@@ -50,8 +51,11 @@ def synth_stream_dets(rng, T, S, N, n_obj=16, img_w=1920, img_h=1080):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tracker", default="bytetrack",
-                    choices=["sort", "bytetrack", "ocsort"])
+    ap.add_argument(
+        "--tracker", default="bytetrack",
+        choices=["sort", "bytetrack", "ocsort", "deepocsort", "strongsort",
+                 "botsort", "boosttrack", "hybridsort", "ucmctrack"],
+    )
     ap.add_argument("--streams", type=int, default=1024)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--repeats", type=int, default=5)
@@ -103,7 +107,55 @@ def main():
         )
         init_fn, step_fn = make_ocsort(cfg)
     else:
-        raise SystemExit(f"unknown tracker {args.tracker}")
+        factories = {
+            "deepocsort": (
+                "motcpp_tpu.models.deepocsort",
+                "DeepOCSortConfig",
+                "make_deepocsort",
+                dict(min_hits=1, embedding_off=True, cmc_off=True),
+            ),
+            "strongsort": (
+                "motcpp_tpu.models.strongsort",
+                "StrongSortConfig",
+                "make_strongsort",
+                dict(n_init=1, gallery_cap=16),
+            ),
+            "botsort": (
+                "motcpp_tpu.models.botsort",
+                "BotSortConfig",
+                "make_botsort",
+                dict(with_reid=False),
+            ),
+            "boosttrack": (
+                "motcpp_tpu.models.boosttrack",
+                "BoostTrackConfig",
+                "make_boosttrack",
+                dict(min_hits=1),
+            ),
+            "hybridsort": (
+                "motcpp_tpu.models.hybridsort",
+                "HybridSortConfig",
+                "make_hybridsort",
+                dict(min_hits=1, with_reid=False),
+            ),
+            "ucmctrack": (
+                "motcpp_tpu.models.ucmctrack",
+                "UCMCConfig",
+                "make_ucmctrack",
+                dict(),
+            ),
+        }
+        import importlib
+
+        mod_name, cfg_name, make_name, extra = factories[args.tracker]
+        mod = importlib.import_module(mod_name)
+        cfg = getattr(mod, cfg_name)(
+            max_tracks=args.max_tracks,
+            max_dets=args.max_dets,
+            lap_impl=args.lap,
+            **extra,
+        )
+        init_fn, step_fn = getattr(mod, make_name)(cfg)
 
     S, T, N = args.streams, args.frames, args.max_dets
     rng = np.random.default_rng(0)
