@@ -34,6 +34,9 @@ def build_tracker(name: str, fps: int = 30, **overrides):
     defaults: dict = {}
     if name == "bytetrack":
         defaults = dict(frame_rate=fps)
+    elif name in ("ucmc", "ucmctrack"):
+        # dt = 1 / sequence fps (reference: motcpp_eval.cpp:129)
+        defaults = dict(dt=1.0 / fps)
     defaults.update(overrides)
     return motcpp_tpu.create_tracker(name, **defaults)
 

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import configparser
 import dataclasses
-import os
 import re
 from pathlib import Path
 

@@ -38,7 +38,6 @@ import jax.numpy as jnp
 
 from motcpp_tpu.models import register
 from motcpp_tpu.models.base import BaseTrackerWrapper
-from motcpp_tpu.ops import boxes as boxops
 from motcpp_tpu.ops.iou import iou_batch
 from motcpp_tpu.ops.lap import solve_lap_masked
 

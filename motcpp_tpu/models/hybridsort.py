@@ -45,12 +45,11 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from motcpp_tpu.models import register
 from motcpp_tpu.models.base import BaseTrackerWrapper
-from motcpp_tpu.models.ocsort import _NO_AGE, _k_previous_obs
+from motcpp_tpu.models.ocsort import _NO_AGE
 from motcpp_tpu.ops.iou import hmiou_batch, iou_batch
 from motcpp_tpu.ops.lap import solve_lap_masked
 

@@ -28,7 +28,6 @@ import dataclasses
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from motcpp_tpu.models import register
 from motcpp_tpu.models.base import BaseTrackerWrapper
