@@ -56,13 +56,14 @@ def main():
         choices=["sort", "bytetrack", "ocsort", "deepocsort", "strongsort",
                  "botsort", "boosttrack", "hybridsort", "ucmctrack"],
     )
-    ap.add_argument("--streams", type=int, default=1024)
+    ap.add_argument("--streams", type=int, default=4096)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--max-tracks", type=int, default=64)
     ap.add_argument("--max-dets", type=int, default=32)
     ap.add_argument("--objects", type=int, default=16)
-    ap.add_argument("--lap", default="auction", choices=["jv", "auction"],
+    ap.add_argument("--lap", default="auction",
+                    choices=["jv", "auction", "auction_pallas"],
                     help="assignment kernel (auction = TPU-fast default)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
