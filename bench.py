@@ -62,9 +62,10 @@ def main():
     ap.add_argument("--max-tracks", type=int, default=64)
     ap.add_argument("--max-dets", type=int, default=32)
     ap.add_argument("--objects", type=int, default=16)
-    ap.add_argument("--lap", default="auction",
+    ap.add_argument("--lap", default="auction_pallas",
                     choices=["jv", "auction", "auction_pallas"],
-                    help="assignment kernel (auction = TPU-fast default)")
+                    help="assignment kernel (auction_pallas = fastest "
+                    "measured on TPU; falls back to interpret mode on CPU)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
