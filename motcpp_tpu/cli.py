@@ -109,7 +109,8 @@ def main(argv=None):
     ap.add_argument("reid", nargs="?", default="")
     ap.add_argument("--max-dets", type=int, default=128)
     ap.add_argument("--max-tracks", type=int, default=256)
-    ap.add_argument("--lap", default="jv", choices=["jv", "auction"])
+    ap.add_argument("--lap", default="jv",
+                    choices=["jv", "auction", "auction_pallas"])
     ap.add_argument(
         "--images", action="store_true",
         help="load real frames (default: dummy 1080p images, like the "

@@ -39,6 +39,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from motcpp_tpu.models import register
@@ -172,62 +173,71 @@ def make_bytetrack(cfg: ByteTrackConfig):
         )
         m1 = r2c1 >= 0
         j1 = jnp.clip(r2c1, 0, N - 1)
-        z1 = _xyah_of_dets(dets[j1])
-        u1_mean, u1_cov = kf_xyah.update(pmean, pcov, z1)
-        mean = jnp.where(m1[:, None], u1_mean, mean)
-        cov = jnp.where(m1[:, None, None], u1_cov, cov)
-        conf = jnp.where(m1, dets[j1][:, 4], conf)
-        cls = jnp.where(m1, dets[j1][:, 5], cls)
-        det_ind = jnp.where(m1, j1, det_ind)
-        last_frame = jnp.where(m1, frame, last_frame)
-        tstate = jnp.where(m1, TRACKED, tstate)
-        is_act = is_act | m1  # update()/re_activate() both set it
 
-        # ================= stage 2: leftover Tracked x low dets ==========
+        # ================= stages 2+3: one batched solve ==================
+        # Stage 2 (leftover Tracked x low dets) and stage 3 (unconfirmed x
+        # stage-1-leftover high dets) depend only on stage-1 results and
+        # touch disjoint track rows (unconfirmed tracks are excluded from
+        # both earlier row masks) and disjoint det columns, so they solve
+        # as one vmapped batch — halving the sequential LAP launches per
+        # frame. Bit-exact vs sequential solves: both auction impls
+        # compute epsilon over mask-valid pairs only, and masked rows
+        # never influence any impl's matching.
         r_tracked = tracked_m & ~m1
         gate2 = jnp.any(second) & jnp.any(r_tracked)
-        # cost from UNPREDICTED boxes (bytetrack.cpp:388-397)
+        # stage-2 cost from UNPREDICTED boxes (bytetrack.cpp:388-397),
+        # stage-3 cost from unconfirmed tracks' current means
+        # (bytetrack.cpp:445-530): every row in either solve's mask
+        # (leftover Tracked, unconfirmed) is untouched by stage 1's
+        # update, so reading the pre-update means here is identical to
+        # the reference's sequential reads.
         orig_xyxy = boxes.xyah2xyxy(mean[:, :4])
-        cost2 = 1.0 - iou_batch(orig_xyxy, det_xyxy)
-        r2c2, c2r2 = solve_lap_masked(
-            cost2, r_tracked & gate2, second & gate2, 0.5, impl=cfg.lap_impl
+        iou_orig = 1.0 - iou_batch(orig_xyxy, det_xyxy)
+        rem_high = high & (c2r1 < 0)
+        gate3 = jnp.any(unconf_m) & jnp.any(rem_high)
+        (r2c2, r2c3), (c2r2, c2r3) = jax.vmap(
+            lambda c, r, cm, t: solve_lap_masked(
+                c, r, cm, t, impl=cfg.lap_impl
+            )
+        )(
+            jnp.stack([iou_orig, fuse_score(iou_orig, det_conf)]),
+            jnp.stack([r_tracked & gate2, unconf_m & gate3]),
+            jnp.stack([second & gate2, rem_high & gate3]),
+            jnp.asarray([0.5, 0.7], jnp.float32),
         )
         m2 = r2c2 >= 0
-        j2 = jnp.clip(r2c2, 0, N - 1)
-        z2 = _xyah_of_dets(dets[j2])
-        # matched stage-2 commit the prediction then update
-        u2_mean, u2_cov = kf_xyah.update(pmean, pcov, z2)
-        mean = jnp.where(m2[:, None], u2_mean, mean)
-        cov = jnp.where(m2[:, None, None], u2_cov, cov)
-        conf = jnp.where(m2, dets[j2][:, 4], conf)
-        cls = jnp.where(m2, dets[j2][:, 5], cls)
-        det_ind = jnp.where(m2, j2, det_ind)
-        last_frame = jnp.where(m2, frame, last_frame)
-        is_act = is_act | m2
+        m3 = r2c3 >= 0
+
+        # ============ one merged KF update for all three stages ==========
+        # Match rows are pairwise disjoint (m1 ⊆ pool, m2 ⊆ Tracked∖m1,
+        # m3 ⊆ unconfirmed) and the Kalman update is elementwise per
+        # track row, so update(select(inputs)) == select(update(inputs)):
+        # one batched update replaces three, bit-exactly. Stages 1 and 2
+        # update the predicted state (bytetrack.cpp:296-306, 367-440);
+        # stage 3's unconfirmed tracks were never predicted
+        # (bytetrack.cpp:445-530) and update their stored state.
+        m12 = m1 | m2
+        m123 = m12 | m3
+        j123 = jnp.where(
+            m1, j1, jnp.where(m2, jnp.clip(r2c2, 0, N - 1),
+                              jnp.clip(r2c3, 0, N - 1))
+        )
+        drow = dets[j123]
+        z = _xyah_of_dets(drow)
+        base_mean = jnp.where(m12[:, None], pmean, mean)
+        base_cov = jnp.where(m12[:, None, None], pcov, cov)
+        u_mean, u_cov = kf_xyah.update(base_mean, base_cov, z)
+        mean = jnp.where(m123[:, None], u_mean, mean)
+        cov = jnp.where(m123[:, None, None], u_cov, cov)
+        conf = jnp.where(m123, drow[:, 4], conf)
+        cls = jnp.where(m123, drow[:, 5], cls)
+        det_ind = jnp.where(m123, j123, det_ind)
+        last_frame = jnp.where(m123, frame, last_frame)
+        tstate = jnp.where(m1, TRACKED, tstate)  # re_activate of Lost
+        is_act = is_act | m123  # update()/re_activate() both set it
         # unmatched leftover Tracked -> Lost (only when stage 2 ran)
         newly_lost = r_tracked & ~m2 & gate2
         tstate = jnp.where(newly_lost, LOST, tstate)
-
-        # ================= stage 3: unconfirmed x leftover high ==========
-        rem_high = high & (c2r1 < 0)
-        gate3 = jnp.any(unconf_m) & jnp.any(rem_high)
-        unconf_xyxy = boxes.xyah2xyxy(mean[:, :4])
-        cost3 = fuse_score(1.0 - iou_batch(unconf_xyxy, det_xyxy), det_conf)
-        r2c3, c2r3 = solve_lap_masked(
-            cost3, unconf_m & gate3, rem_high & gate3, 0.7, impl=cfg.lap_impl
-        )
-        m3 = r2c3 >= 0
-        j3 = jnp.clip(r2c3, 0, N - 1)
-        z3 = _xyah_of_dets(dets[j3])
-        # update() from the unpredicted state (unconfirmed never predicted)
-        u3_mean, u3_cov = kf_xyah.update(mean, cov, z3)
-        mean = jnp.where(m3[:, None], u3_mean, mean)
-        cov = jnp.where(m3[:, None, None], u3_cov, cov)
-        conf = jnp.where(m3, dets[j3][:, 4], conf)
-        cls = jnp.where(m3, dets[j3][:, 5], cls)
-        det_ind = jnp.where(m3, j3, det_ind)
-        last_frame = jnp.where(m3, frame, last_frame)
-        is_act = is_act | m3
         # unmatched unconfirmed -> removed (free), only when stage 3 ran
         tstate = jnp.where(unconf_m & ~m3 & gate3, FREE, tstate)
 

@@ -95,7 +95,10 @@ class MultiStreamRunner:
                 # varying-manual-axes check (streams never communicate)
                 check_vma=False,
             )
-        self._rollout = jax.jit(rollout)
+        # donate the carried states: the previous step's state buffers are
+        # dead after each run() (we always keep the returned pytree), so
+        # XLA can reuse them in place instead of copying ~K*S-sized arrays
+        self._rollout = jax.jit(rollout, donate_argnums=(0,))
         self._states = None
 
     # ------------------------------------------------------------------

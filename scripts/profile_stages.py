@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Stage-level microbenchmarks at bench.py's saturation shape
+(S=4096 streams, K=64 track slots, N=32 detections): measures each hot
+stage in isolation as a scanned, vmapped XLA program so its cost is
+comparable to one frame-batch of the full tracker (~61 ms at S=4096).
+
+Usage: python scripts/profile_stages.py [--streams 4096] [--iters 30]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def timed_scan(fn, args, iters, label):
+    """Scan fn over `iters` dummy steps; report ms per step."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(carry, _):
+        out = fn(*args)
+        # fold output into carry so nothing is dead-code-eliminated
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return carry + jnp.sum(leaf.astype(jnp.float32)), None
+
+    prog = jax.jit(
+        lambda: jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
+    )
+    t0 = time.time()
+    r = prog()
+    float(np.asarray(r))  # materialize (axon abort detection)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    r = prog()
+    float(np.asarray(r))
+    per_step_ms = (time.time() - t0) / iters * 1e3
+    print(f"{label:42s} {per_step_ms:8.2f} ms/step   (compile {compile_s:.0f}s)")
+    return per_step_ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--stages", nargs="*", default=["auction", "pallas", "iou", "kf"])
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    S, K, N = args.streams, 64, 32
+    rng = np.random.default_rng(0)
+    cost = jnp.asarray(rng.uniform(0, 1, (S, K, N)).astype(np.float32))
+    rmask = jnp.asarray(rng.random((S, K)) < 0.5)
+    cmask = jnp.asarray(rng.random((S, N)) < 0.6)
+
+    if "auction" in args.stages:
+        from motcpp_tpu.ops.lap import solve_lap_masked
+
+        fn = jax.vmap(
+            lambda c, r, m: solve_lap_masked(c, r, m, 0.9, impl="auction")
+        )
+        timed_scan(fn, (cost, rmask, cmask), args.iters, f"auction (jnp) {S}x({K}x{N})")
+
+    if "pallas" in args.stages:
+        from motcpp_tpu.ops.lap import solve_lap_masked
+
+        fn = jax.vmap(
+            lambda c, r, m: solve_lap_masked(c, r, m, 0.9, impl="auction_pallas")
+        )
+        timed_scan(fn, (cost, rmask, cmask), args.iters, f"auction (pallas) {S}x({K}x{N})")
+
+    if "iou" in args.stages:
+        from motcpp_tpu.ops.iou import iou_batch
+
+        b1 = jnp.asarray(rng.uniform(0, 1000, (S, K, 4)).astype(np.float32))
+        b2 = jnp.asarray(rng.uniform(0, 1000, (S, N, 4)).astype(np.float32))
+        fn = jax.vmap(iou_batch)
+        timed_scan(fn, (b1, b2), args.iters, f"iou_batch {S}x({K}x{N})")
+
+    if "kf" in args.stages:
+        from motcpp_tpu.ops.kalman.gaussian import kf_xyah
+
+        kf = kf_xyah
+        mean = jnp.asarray(rng.normal(0, 1, (S, K, 8)).astype(np.float32))
+        cov = jnp.broadcast_to(jnp.eye(8, dtype=jnp.float32), (S, K, 8, 8))
+        meas = jnp.asarray(rng.normal(0, 1, (S, K, 4)).astype(np.float32))
+
+        pred = jax.vmap(jax.vmap(kf.predict))
+        timed_scan(pred, (mean, cov), args.iters, f"KF xyah predict {S}x{K}")
+
+        upd = jax.vmap(jax.vmap(kf.update))
+        timed_scan(upd, (mean, cov, meas), args.iters, f"KF xyah update {S}x{K}")
+
+
+if __name__ == "__main__":
+    main()
