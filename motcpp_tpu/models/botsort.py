@@ -221,64 +221,66 @@ def make_botsort(cfg: BotSortConfig):
         )
         m1 = r2c1 >= 0
         j1 = jnp.clip(r2c1, 0, N - 1)
-        z1 = boxes.xyxy2xywh(dets[j1][:, :4])
-        u1m, u1c = kf_xywh.update(mean, cov, z1)
-        mean = jnp.where(m1[:, None], u1m, mean)
-        cov = jnp.where(m1[:, None, None], u1c, cov)
-        conf = jnp.where(m1, dets[j1][:, 4], conf)
-        cls = jnp.where(m1, dets[j1][:, 5], cls)
-        det_ind = jnp.where(m1, j1, det_ind)
-        end_frame = jnp.where(m1, frame, end_frame)
-        tstate = jnp.where(m1, TRACKED, tstate)
-        is_act = is_act | m1
-        feat, has_feat = _ema_feat(feat, has_feat, m1, dets_feat[j1], det_has_feat[j1])
 
-        # ================= stage 2: leftover tracked x second ============
+        # ============ stages 2+3: one batched solve =======================
+        # Same structure as bytetrack.py: both stages depend only on
+        # stage-1 results, their row sets (leftover Tracked, unconfirmed)
+        # are disjoint from every row stage 1 writes, and their det
+        # columns are disjoint — so they solve as one vmapped batch and
+        # their costs read the post-predict means directly (identical on
+        # all mask-valid rows to the reference's sequential reads,
+        # botsort.cpp:498-614).
         r_tracked = tracked_m & ~m1
         gate2 = jnp.any(second) & jnp.any(r_tracked)
-        trk_xyxy2 = boxes.xywh2xyxy(mean[:, :4])
-        cost2 = 1.0 - iou_batch(trk_xyxy2, det_xyxy)
-        r2c2, _ = solve_lap_masked(
-            cost2, r_tracked & gate2, second & gate2, 0.5, impl=cfg.lap_impl
-        )
-        m2 = r2c2 >= 0
-        j2 = jnp.clip(r2c2, 0, N - 1)
-        z2 = boxes.xyxy2xywh(dets[j2][:, :4])
-        u2m, u2c = kf_xywh.update(mean, cov, z2)
-        mean = jnp.where(m2[:, None], u2m, mean)
-        cov = jnp.where(m2[:, None, None], u2c, cov)
-        conf = jnp.where(m2, dets[j2][:, 4], conf)
-        cls = jnp.where(m2, dets[j2][:, 5], cls)
-        det_ind = jnp.where(m2, j2, det_ind)
-        end_frame = jnp.where(m2, frame, end_frame)
-        is_act = is_act | m2
-        # second-stage dets carry no features (botsort.cpp:507-511)
-        newly_lost = r_tracked & ~m2 & gate2
-        tstate = jnp.where(newly_lost, LOST, tstate)
-
-        # ================= stage 3: unconfirmed x leftover first =========
+        cost2 = 1.0 - iou_batch(trk_xyxy, det_xyxy)
         rem_first = first & (c2r1 < 0)
         gate3 = jnp.any(unconf_m) & jnp.any(rem_first)
-        unconf_xyxy = boxes.xywh2xyxy(mean[:, :4])
         cost3 = _fused_cost(
-            unconf_xyxy, det_xyxy, det_conf, feat, has_feat, dets_feat,
+            trk_xyxy, det_xyxy, det_conf, feat, has_feat, dets_feat,
             det_has_feat, True,
         )
-        r2c3, c2r3 = solve_lap_masked(
-            cost3, unconf_m & gate3, rem_first & gate3, 0.7, impl=cfg.lap_impl
+        (r2c2, r2c3), (_, c2r3) = jax.vmap(
+            lambda c, r, cm, t: solve_lap_masked(
+                c, r, cm, t, impl=cfg.lap_impl
+            )
+        )(
+            jnp.stack([cost2, cost3]),
+            jnp.stack([r_tracked & gate2, unconf_m & gate3]),
+            jnp.stack([second & gate2, rem_first & gate3]),
+            jnp.asarray([0.5, 0.7], jnp.float32),
         )
+        m2 = r2c2 >= 0
         m3 = r2c3 >= 0
-        j3 = jnp.clip(r2c3, 0, N - 1)
-        z3 = boxes.xyxy2xywh(dets[j3][:, :4])
-        u3m, u3c = kf_xywh.update(mean, cov, z3)
-        mean = jnp.where(m3[:, None], u3m, mean)
-        cov = jnp.where(m3[:, None, None], u3c, cov)
-        conf = jnp.where(m3, dets[j3][:, 4], conf)
-        cls = jnp.where(m3, dets[j3][:, 5], cls)
-        det_ind = jnp.where(m3, j3, det_ind)
-        end_frame = jnp.where(m3, frame, end_frame)
-        is_act = is_act | m3
-        feat, has_feat = _ema_feat(feat, has_feat, m3, dets_feat[j3], det_has_feat[j3])
+
+        # ============ one merged KF update for all three stages ==========
+        # Match rows are pairwise disjoint and every stage updates the
+        # in-place-predicted state, so one batched update over the merged
+        # match map is bit-exact vs three sequential updates.
+        m123 = (m1 | m2) | m3
+        j123 = jnp.where(
+            m1, j1, jnp.where(m2, jnp.clip(r2c2, 0, N - 1),
+                              jnp.clip(r2c3, 0, N - 1))
+        )
+        drow = dets[j123]
+        z = boxes.xyxy2xywh(drow[:, :4])
+        um, uc = kf_xywh.update(mean, cov, z)
+        mean = jnp.where(m123[:, None], um, mean)
+        cov = jnp.where(m123[:, None, None], uc, cov)
+        conf = jnp.where(m123, drow[:, 4], conf)
+        cls = jnp.where(m123, drow[:, 5], cls)
+        det_ind = jnp.where(m123, j123, det_ind)
+        end_frame = jnp.where(m123, frame, end_frame)
+        tstate = jnp.where(m1, TRACKED, tstate)  # re_activate of Lost
+        is_act = is_act | m123
+        # feature EMA only for stages 1 and 3 — second-stage dets carry
+        # no features (botsort.cpp:507-511)
+        m13 = m1 | m3
+        feat, has_feat = _ema_feat(
+            feat, has_feat, m13, dets_feat[j123], det_has_feat[j123]
+        )
+        # unmatched leftover Tracked -> Lost (only when stage 2 ran)
+        newly_lost = r_tracked & ~m2 & gate2
+        tstate = jnp.where(newly_lost, LOST, tstate)
         tstate = jnp.where(unconf_m & ~m3 & gate3, FREE, tstate)
 
         # ================= births =======================================

@@ -326,17 +326,21 @@ def make_deepocsort(cfg: DeepOCSortConfig):
             jnp.where(d2t >= 0, d2t, K)
         ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
 
+        # commits deferred: OCR below only reads rows stage 1 left
+        # unmatched, so both stages' updates merge into ONE batched
+        # _track_update (bit-exact — each row matched by at most one
+        # stage; see the same pattern in ocsort.py/bytetrack.py)
         vars_ = (x, P, state.conf, state.cls, state.det_ind, state.last_obs,
                  state.velocity, state.obs_ring, state.obs_age, state.obs_ptr,
                  tsu, state.hits, hit_streak, state.emb)
-        vars_ = _track_update(vars_, t2d, dets, dets_emb, dets_alpha, age)
 
         u_trk = active & (t2d < 0)
         u_det = high & (d2t < 0)
 
         # --- OCR rematch (plain IoU; deepocsort.cpp:800-876) -------------
-        last_obs_now = vars_[5]
-        iou3 = asso(det_xyxy, last_obs_now[:, :4])
+        # pre-update last_obs: identical on every u_trk column; matched
+        # columns are masked out of the gate, the solve and the filter
+        iou3 = asso(det_xyxy, state.last_obs[:, :4])
         masked3 = jnp.where(u_det[:, None] & u_trk[None, :], iou3, -jnp.inf)
         gate3 = (
             jnp.any(u_det)
@@ -356,7 +360,8 @@ def make_deepocsort(cfg: DeepOCSortConfig):
         t2d_3 = jnp.full((K,), -1, jnp.int32).at[
             jnp.where(d2t_3 >= 0, d2t_3, K)
         ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
-        vars_ = _track_update(vars_, t2d_3, dets, dets_emb, dets_alpha, age)
+        t2d_all = jnp.where(t2d >= 0, t2d, t2d_3)
+        vars_ = _track_update(vars_, t2d_all, dets, dets_emb, dets_alpha, age)
         u_trk = u_trk & (t2d_3 < 0)
         u_det = u_det & (d2t_3 < 0)
 

@@ -313,10 +313,16 @@ def make_ocsort(cfg: OCSortConfig):
             jnp.where(d2t >= 0, d2t, K)
         ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
 
+        # NOTE: commits are deferred — the BYTE and OCR stages below only
+        # read state on rows stage 1 leaves unmatched (their row/col
+        # masks exclude every already-matched track), so all stages'
+        # observation updates merge into ONE batched
+        # _apply_track_update at the end, bit-exact vs sequential
+        # application (each track row is matched by at most one stage).
         st_vars = (x, P, state.conf, state.cls, state.det_ind, state.last_obs,
                    state.velocity, state.obs_ring, state.obs_age,
                    state.obs_ptr, tsu, state.hits, hit_streak)
-        st_vars = _apply_track_update(st_vars, t2d, dets, age)
+        t2d_all = t2d
 
         u_trk = active & (t2d < 0)
         u_det = high & (d2t < 0)
@@ -345,12 +351,13 @@ def make_ocsort(cfg: OCSortConfig):
             t2d_2 = jnp.full((K,), -1, jnp.int32).at[
                 jnp.where(d2t_2 >= 0, d2t_2, K)
             ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
-            st_vars = _apply_track_update(st_vars, t2d_2, dets, age)
+            t2d_all = jnp.where(t2d_all >= 0, t2d_all, t2d_2)
             u_trk = u_trk & (t2d_2 < 0)
 
         # --- OCR rematch on last observations (ocsort.cpp:474-540) -------
-        last_obs_now = st_vars[5]
-        obs_boxes = last_obs_now[:, :4]
+        # pre-update last_obs: identical on every u_trk column (earlier
+        # stages never wrote unmatched rows); matched columns are masked
+        obs_boxes = state.last_obs[:, :4]
         iou3 = asso(det_xyxy, obs_boxes)
         masked3 = jnp.where(u_det[:, None] & u_trk[None, :], iou3, -jnp.inf)
         gate3 = (
@@ -371,7 +378,8 @@ def make_ocsort(cfg: OCSortConfig):
         t2d_3 = jnp.full((K,), -1, jnp.int32).at[
             jnp.where(d2t_3 >= 0, d2t_3, K)
         ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
-        st_vars = _apply_track_update(st_vars, t2d_3, dets, age)
+        t2d_all = jnp.where(t2d_all >= 0, t2d_all, t2d_3)
+        st_vars = _apply_track_update(st_vars, t2d_all, dets, age)
         u_trk = u_trk & (t2d_3 < 0)
         u_det = u_det & (d2t_3 < 0)
 
