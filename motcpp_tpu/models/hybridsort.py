@@ -214,7 +214,10 @@ def make_hybridsort(cfg: HybridSortConfig):
         )
 
     def _apply_update(vars_, t2d, dets, det_conf, dets_feat, det_has_feat,
-                      frame_age, update_feature):
+                      frame_age, feat_mask):
+        """feat_mask: (K,) bool — rows whose feature bank may update
+        (only first-stage matches smooth features, hybridsort.cpp:1010);
+        lets one merged call carry per-stage feature semantics."""
         (x, P, conf, conf_pre, cls, det_ind, last_obs, obs_ring, obs_age,
          obs_ptr, tsu, hits, hit_streak, feat, has_feat) = vars_
         N = dets.shape[0]
@@ -247,7 +250,7 @@ def make_hybridsort(cfg: HybridSortConfig):
         x = jnp.where(m[:, None], ux, x)
         P = jnp.where(m[:, None, None], uP, P)
 
-        if update_feature:
+        if cfg.with_reid:
             dfeat = dets_feat[j]
             dgood = det_has_feat[j]
             if cfg.adapfs:
@@ -262,7 +265,7 @@ def make_hybridsort(cfg: HybridSortConfig):
             nrm = jnp.linalg.norm(smoothed, axis=-1, keepdims=True) + 1e-12
             smoothed = smoothed / nrm
             new_feat = jnp.where(has_feat[:, None], smoothed, dfeat)
-            upd = m & dgood
+            upd = feat_mask & m & dgood
             feat = jnp.where(upd[:, None], new_feat, feat)
             has_feat = has_feat | upd
 
@@ -379,12 +382,15 @@ def make_hybridsort(cfg: HybridSortConfig):
             jnp.where(d2t1 >= 0, d2t1, K)
         ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
 
+        # commits deferred: the BYTE and rematch stages below only read
+        # state on rows stage 1 leaves unmatched, so all stages' updates
+        # apply once as a merged batched commit (bit-exact vs sequential
+        # — each row is matched by at most one stage; same pattern as
+        # bytetrack.py/ocsort.py). Only stage-1 matches update features.
         vars_ = (x, P, state.conf, state.conf_pre, state.cls, state.det_ind,
                  state.last_obs, state.obs_ring, state.obs_age, state.obs_ptr,
                  tsu, state.hits, hit_streak, state.feat, state.has_feat)
-        vars_ = _apply_update(
-            vars_, t2d1, dets, det_conf, dets_feat, det_has_feat, age, True
-        )
+        t2d_all = t2d1
         u_trk = active & (t2d1 < 0)
         u_det = keep & (d2t1 < 0)
 
@@ -406,9 +412,13 @@ def make_hybridsort(cfg: HybridSortConfig):
             )
             cost_b = 1.0 - iou_b
             if cfg.with_reid and cfg.eg_weight_low_score > 0:
-                emb_low = 1.0 - dets_feat @ vars_[13].T
+                # pre-update features: identical on every u_trk column
+                # (stage 1 never wrote unmatched rows); matched columns
+                # are masked out of the gate and the solve
+                emb_low = 1.0 - dets_feat @ state.feat.T
                 emb_low = jnp.where(
-                    det_has_feat[:, None] & vars_[14][None, :], emb_low, 1.0
+                    det_has_feat[:, None] & state.has_feat[None, :],
+                    emb_low, 1.0,
                 )
                 cost_b = cost_b + emb_low * cfg.eg_weight_low_score
             d2t_b, _ = solve_lap_masked(
@@ -424,15 +434,12 @@ def make_hybridsort(cfg: HybridSortConfig):
             t2d_b = jnp.full((K,), -1, jnp.int32).at[
                 jnp.where(d2t_b >= 0, d2t_b, K)
             ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
-            vars_ = _apply_update(
-                vars_, t2d_b, dets, det_conf, dets_feat, det_has_feat, age,
-                False,
-            )
+            t2d_all = jnp.where(t2d_all >= 0, t2d_all, t2d_b)
             u_trk = u_trk & (t2d_b < 0)
 
         # ================= final rematch on last boxes ===================
-        last_now = vars_[6]
-        iou_r = iou_batch(det_xyxy, last_now[:, :4])
+        # pre-update last_obs (identical on u_trk rows; see above)
+        iou_r = iou_batch(det_xyxy, state.last_obs[:, :4])
         masked_r = jnp.where(u_det[:, None] & u_trk[None, :], iou_r, -jnp.inf)
         gate_r = (
             jnp.any(u_det)
@@ -450,8 +457,10 @@ def make_hybridsort(cfg: HybridSortConfig):
         t2d_r = jnp.full((K,), -1, jnp.int32).at[
             jnp.where(d2t_r >= 0, d2t_r, K)
         ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+        t2d_all = jnp.where(t2d_all >= 0, t2d_all, t2d_r)
         vars_ = _apply_update(
-            vars_, t2d_r, dets, det_conf, dets_feat, det_has_feat, age, False
+            vars_, t2d_all, dets, det_conf, dets_feat, det_has_feat, age,
+            t2d1 >= 0,
         )
         u_trk = u_trk & (t2d_r < 0)
         u_det = u_det & (d2t_r < 0)

@@ -33,6 +33,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -191,11 +192,6 @@ def make_ucmctrack(cfg: UCMCConfig):
         new_P = 0.5 * (new_P + jnp.swapaxes(new_P, -1, -2))
         return new_x, new_P
 
-    def _stage(x, P, y, Rm, rows, cols, thresh, lap_impl):
-        cost = _dist(x, P, y, Rm, rows, cols)
-        r2c, c2r = solve_lap_masked(cost, rows, cols, thresh, impl=lap_impl)
-        return r2c, c2r
-
     def init_fn() -> UCMCState:
         return UCMCState(
             x=jnp.zeros((K, 4), jnp.float32),
@@ -240,51 +236,66 @@ def make_ucmctrack(cfg: UCMCConfig):
 
         conf_coast = (ustate == CONFIRMED) | (ustate == COASTED)
 
+        # The (K, N) Mahalanobis+log|S| matrix builds ONCE for all three
+        # stages: every stage's row set (confirmed+coasted, stage-1
+        # leftovers, tentative) is untouched by the earlier stages'
+        # updates, so the per-stage rebuilds of the reference
+        # (ucmc.cpp:345-489) read identical values on all mask-valid
+        # rows. Stages 2 and 3 (disjoint rows AND disjoint det columns,
+        # both depending only on stage 1) solve as one vmapped batch,
+        # and all three stages commit via ONE merged KF update —
+        # bit-exact vs sequential (each row matched by at most one
+        # stage; same pattern as bytetrack.py/ocsort.py).
+        all_rows = jnp.ones((K,), bool)
+        all_cols = jnp.ones((N,), bool)
+        base_cost = _dist(x, P, y, Rm, all_rows, all_cols)
+
         # ---- stage 1: confirmed+coasted x high @ a1 ---------------------
-        r2c1, c2r1 = _stage(x, P, y, Rm, conf_coast, high, cfg.a1, cfg.lap_impl)
+        cost1 = jnp.where(
+            conf_coast[:, None] & high[None, :], base_cost, 1e9
+        )
+        r2c1, c2r1 = solve_lap_masked(
+            cost1, conf_coast, high, cfg.a1, impl=cfg.lap_impl
+        )
         m1 = r2c1 >= 0
         j1 = jnp.clip(r2c1, 0, N - 1)
-        ux, uP = _kf_update(x, P, y[j1], Rm[j1])
-        x = jnp.where(m1[:, None], ux, x)
-        P = jnp.where(m1[:, None, None], uP, P)
-        death = jnp.where(m1, 0, death)
-        det_idx = jnp.where(m1, j1, det_idx)
-        ustate = jnp.where(m1, CONFIRMED, ustate)
-        out_conf = jnp.where(m1, det_conf[j1], out_conf)
-        out_cls = jnp.where(m1, dets[j1][:, 5], out_cls)
-        out_box = jnp.where(m1[:, None], det_xyxy[j1], out_box)
 
-        # ---- stage 2: leftovers x low @ a2 ------------------------------
+        # ---- stages 2+3 batched: leftovers x low @ a2, tentative x
+        #      leftover high @ a1 -----------------------------------------
         remain = conf_coast & ~m1
-        r2c2, _ = _stage(x, P, y, Rm, remain, low, cfg.a2, cfg.lap_impl)
-        m2 = r2c2 >= 0
-        j2 = jnp.clip(r2c2, 0, N - 1)
-        ux, uP = _kf_update(x, P, y[j2], Rm[j2])
-        x = jnp.where(m2[:, None], ux, x)
-        P = jnp.where(m2[:, None, None], uP, P)
-        death = jnp.where(m2, 0, death)
-        det_idx = jnp.where(m2, j2, det_idx)
-        ustate = jnp.where(m2, CONFIRMED, ustate)
-        out_conf = jnp.where(m2, det_conf[j2], out_conf)
-        out_cls = jnp.where(m2, dets[j2][:, 5], out_cls)
-        out_box = jnp.where(m2[:, None], det_xyxy[j2], out_box)
-        ustate = jnp.where(remain & ~m2, COASTED, ustate)
-
-        # ---- stage 3: tentative x leftover high @ a1 --------------------
         tent = state.ustate == TENTATIVE  # tentative entering this frame
         rem_high = high & (c2r1 < 0)
-        r2c3, c2r3 = _stage(x, P, y, Rm, tent, rem_high, cfg.a1, cfg.lap_impl)
+        (r2c2, r2c3), (_, c2r3) = jax.vmap(
+            lambda r, c, t: solve_lap_masked(
+                jnp.where(r[:, None] & c[None, :], base_cost, 1e9),
+                r, c, t, impl=cfg.lap_impl,
+            )
+        )(
+            jnp.stack([remain, tent]),
+            jnp.stack([low, rem_high]),
+            jnp.asarray([cfg.a2, cfg.a1], jnp.float32),
+        )
+        m2 = r2c2 >= 0
         m3 = r2c3 >= 0
-        j3 = jnp.clip(r2c3, 0, N - 1)
-        ux, uP = _kf_update(x, P, y[j3], Rm[j3])
-        x = jnp.where(m3[:, None], ux, x)
-        P = jnp.where(m3[:, None, None], uP, P)
-        death = jnp.where(m3, 0, death)
+
+        # ---- merged commit ----------------------------------------------
+        m12 = m1 | m2
+        m123 = m12 | m3
+        j123 = jnp.where(
+            m1, j1, jnp.where(m2, jnp.clip(r2c2, 0, N - 1),
+                              jnp.clip(r2c3, 0, N - 1))
+        )
+        ux, uP = _kf_update(x, P, y[j123], Rm[j123])
+        x = jnp.where(m123[:, None], ux, x)
+        P = jnp.where(m123[:, None, None], uP, P)
+        death = jnp.where(m123, 0, death)
+        det_idx = jnp.where(m123, j123, det_idx)
+        out_conf = jnp.where(m123, det_conf[j123], out_conf)
+        out_cls = jnp.where(m123, dets[j123][:, 5], out_cls)
+        out_box = jnp.where(m123[:, None], det_xyxy[j123], out_box)
+        ustate = jnp.where(m12, CONFIRMED, ustate)
+        ustate = jnp.where(remain & ~m2, COASTED, ustate)
         birth = jnp.where(m3, birth + 1, birth)
-        det_idx = jnp.where(m3, j3, det_idx)
-        out_conf = jnp.where(m3, det_conf[j3], out_conf)
-        out_cls = jnp.where(m3, dets[j3][:, 5], out_cls)
-        out_box = jnp.where(m3[:, None], det_xyxy[j3], out_box)
         promote = m3 & (birth >= 2)
         ustate = jnp.where(promote, CONFIRMED, ustate)
         birth = jnp.where(promote, 0, birth)
