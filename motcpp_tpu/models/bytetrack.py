@@ -195,7 +195,7 @@ def make_bytetrack(cfg: ByteTrackConfig):
         iou_orig = 1.0 - iou_batch(orig_xyxy, det_xyxy)
         rem_high = high & (c2r1 < 0)
         gate3 = jnp.any(unconf_m) & jnp.any(rem_high)
-        (r2c2, r2c3), (c2r2, c2r3) = jax.vmap(
+        (r2c2, r2c3), (_, c2r3) = jax.vmap(
             lambda c, r, cm, t: solve_lap_masked(
                 c, r, cm, t, impl=cfg.lap_impl
             )
