@@ -10,6 +10,6 @@ the hot loop because streams are independent; ICI traffic only appears
 in result gathering.
 """
 
-from motcpp_tpu.parallel.streams import MultiStreamRunner, make_rollout
+from motcpp_tpu.parallel.streams import MultiStreamRunner, make_rollout, make_rollout_embs
 
-__all__ = ["MultiStreamRunner", "make_rollout"]
+__all__ = ["MultiStreamRunner", "make_rollout", "make_rollout_embs"]

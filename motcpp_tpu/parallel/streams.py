@@ -48,6 +48,23 @@ def make_rollout(step_fn: Callable):
     return rollout
 
 
+def make_rollout_embs(step_fn: Callable):
+    """Like make_rollout for ReID trackers: step_fn additionally takes
+    per-detection embeddings, scanned as (T, S, N, D)."""
+
+    vstep = jax.vmap(step_fn)
+
+    def rollout(states, dets, masks, embs):
+        def body(st, inp):
+            d, m, e = inp
+            st, out = vstep(st, d, m, e)
+            return st, out
+
+        return lax.scan(body, states, (dets, masks, embs))
+
+    return rollout
+
+
 class MultiStreamRunner:
     """Sharded multi-stream executor.
 
@@ -68,9 +85,11 @@ class MultiStreamRunner:
         step_fn: Callable,
         n_streams: int,
         devices: list | None = None,
+        with_embs: bool = False,
     ):
         self.n_streams = int(n_streams)
         self.devices = devices if devices is not None else jax.devices()
+        self.with_embs = bool(with_embs)
         n_dev = len(self.devices)
         if self.n_streams % n_dev != 0:
             raise ValueError(
@@ -79,17 +98,22 @@ class MultiStreamRunner:
             )
         self.mesh = Mesh(np.asarray(self.devices), ("streams",))
         self._init_fn = init_fn
-        rollout = make_rollout(step_fn)
+        rollout = (
+            make_rollout_embs(step_fn) if self.with_embs
+            else make_rollout(step_fn)
+        )
 
         if n_dev > 1:
             from jax import shard_map
 
             spec_state = P("streams")
+            spec_t = P(None, "streams")
+            n_in = 3 if self.with_embs else 2
             rollout = shard_map(
                 rollout,
                 mesh=self.mesh,
-                in_specs=(spec_state, P(None, "streams"), P(None, "streams")),
-                out_specs=(spec_state, (P(None, "streams"), P(None, "streams"))),
+                in_specs=(spec_state,) + (spec_t,) * n_in,
+                out_specs=(spec_state, (spec_t, spec_t)),
                 # the LAP while_loop carries start as replicated constants
                 # and become stream-varying inside the loop; skip the
                 # varying-manual-axes check (streams never communicate)
@@ -110,16 +134,23 @@ class MultiStreamRunner:
             states = jax.device_put(states, sharding)
         return states
 
-    def run(self, dets, masks, states=None):
+    def run(self, dets, masks, embs=None, states=None):
         """Track T frames across all streams; returns (outs, out_masks)
-        and retains carry state for subsequent calls (streaming use)."""
+        and retains carry state for subsequent calls (streaming use).
+        embs (T, S, N, D) required iff constructed with_embs=True."""
+        if (embs is not None) != self.with_embs:
+            raise ValueError(
+                "pass embs iff the runner was built with with_embs=True"
+            )
         if states is None:
             states = self._states if self._states is not None else self.init_states()
+        args = (dets, masks) if embs is None else (dets, masks, embs)
         if len(self.devices) > 1:
             sharding = NamedSharding(self.mesh, P(None, "streams"))
-            dets = jax.device_put(jnp.asarray(dets), sharding)
-            masks = jax.device_put(jnp.asarray(masks), sharding)
-        self._states, outs = self._rollout(states, dets, masks)
+            args = tuple(
+                jax.device_put(jnp.asarray(a), sharding) for a in args
+            )
+        self._states, outs = self._rollout(states, *args)
         return outs
 
     def reset(self):

@@ -83,3 +83,39 @@ def test_graft_entry_contract():
     out, out_mask = jax.jit(fn)(*args)
     assert out.shape[-1] == 8
     mod.dryrun_multichip(8)
+
+
+def test_multistream_with_embeddings_sharded():
+    """ReID trackers scale multi-stream too: strongsort with per-det
+    embeddings through shard_map over all 8 virtual devices."""
+    import numpy as np
+
+    from motcpp_tpu.models.strongsort import StrongSortConfig, make_strongsort
+    from motcpp_tpu.parallel import MultiStreamRunner
+
+    S, T, N, D = 16, 6, 4, 8
+    cfg = StrongSortConfig(n_init=1, max_tracks=8, max_dets=N, emb_dim=D)
+    init_fn, step_fn = make_strongsort(cfg)
+    runner = MultiStreamRunner(
+        init_fn, step_fn, n_streams=S, with_embs=True
+    )
+    rng = np.random.default_rng(0)
+    dets = np.zeros((T, S, N, 6), np.float32)
+    masks = np.zeros((T, S, N), bool)
+    embs = rng.normal(0, 1, (T, S, N, D)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=-1, keepdims=True)
+    for t in range(T):
+        for i in range(2):
+            dets[t, :, i] = [100 + 120 * i + 3 * t, 100, 180 + 120 * i + 3 * t,
+                             300, 0.9, 0]
+            masks[t, :, i] = True
+    # identity-stable embeddings per object across time
+    embs = np.broadcast_to(embs[0][:, :, :], (T, S, N, D)).copy()
+    outs, out_masks = runner.run(dets, masks, embs)
+    assert outs.shape == (T, S, 8, 8)
+    assert bool(np.asarray(out_masks[-1]).any())
+    # mismatched usage errors clearly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        runner.run(dets, masks)  # missing embs
