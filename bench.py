@@ -67,6 +67,11 @@ def main():
                     help="assignment kernel (auction_pallas = fastest "
                     "measured on TPU; falls back to interpret mode on CPU)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--emb-dim", type=int, default=0,
+        help="feed random unit embeddings of this dim through the "
+        "sharded rollout (ReID-path benchmark; emb-capable trackers only)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -150,6 +155,15 @@ def main():
         import importlib
 
         mod_name, cfg_name, make_name, extra = factories[args.tracker]
+        if args.emb_dim > 0:
+            # emb-capable configs take the embedding width; reid flags on
+            if args.tracker in ("strongsort", "botsort", "hybridsort",
+                                "deepocsort", "boosttrack"):
+                extra["emb_dim"] = args.emb_dim
+            if args.tracker in ("botsort", "hybridsort", "boosttrack"):
+                extra["with_reid"] = True
+            if args.tracker == "deepocsort":
+                extra["embedding_off"] = False
         mod = importlib.import_module(mod_name)
         cfg = getattr(mod, cfg_name)(
             max_tracks=args.max_tracks,
@@ -163,16 +177,27 @@ def main():
     rng = np.random.default_rng(0)
     dets, masks = synth_stream_dets(rng, T, S, N, n_obj=args.objects)
 
-    runner = MultiStreamRunner(init_fn, step_fn, n_streams=S)
+    with_embs = args.emb_dim > 0
+    runner = MultiStreamRunner(
+        init_fn, step_fn, n_streams=S, with_embs=with_embs
+    )
     dets_j = jnp.asarray(dets)
     masks_j = jnp.asarray(masks)
+    embs_j = None
+    if with_embs:
+        e = rng.normal(0, 1, (T, S, N, args.emb_dim)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=-1, keepdims=True) + 1e-9
+        embs_j = jnp.asarray(e)
+    run_args = (dets_j, masks_j) if embs_j is None else (
+        dets_j, masks_j, embs_j
+    )
 
     # compile + warm up. NOTE: materialize a scalar, not just
     # block_until_ready — under the axon remote platform an aborted
     # computation "completes" instantly and only raises when values are
     # fetched, which silently produces nonsense timings otherwise.
     t0 = time.time()
-    out = runner.run(dets_j, masks_j)
+    out = runner.run(*run_args)
     emissions = int(np.asarray(out[1]).sum())
     compile_s = time.time() - t0
     print(
@@ -186,7 +211,7 @@ def main():
     # steady state (reuse carry state — continuous streaming)
     t0 = time.time()
     for _ in range(args.repeats):
-        out = runner.run(dets_j, masks_j)
+        out = runner.run(*run_args)
         float(np.asarray(out[0][-1]).ravel()[0])  # force + validate
     dt = (time.time() - t0) / args.repeats
 
