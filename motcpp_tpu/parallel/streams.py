@@ -153,5 +153,11 @@ class MultiStreamRunner:
         self._states, outs = self._rollout(states, *args)
         return outs
 
+    @property
+    def states(self):
+        """Current carry state pytree (for checkpointing), or None if
+        no rollout has run yet."""
+        return self._states
+
     def reset(self):
         self._states = None

@@ -119,3 +119,44 @@ def test_multistream_with_embeddings_sharded():
 
     with _pytest.raises(ValueError):
         runner.run(dets, masks)  # missing embs
+
+
+def test_multistream_checkpoint_resume_bit_exact(tmp_path):
+    """Streaming resume: save the sharded carry mid-stream, reload into a
+    fresh runner, continue — outputs must equal an uninterrupted run
+    (SURVEY.md §5 checkpoint/resume aux subsystem, multi-stream case)."""
+    import numpy as np
+
+    from motcpp_tpu.models.bytetrack import ByteTrackConfig, make_bytetrack
+    from motcpp_tpu.parallel import MultiStreamRunner
+    from motcpp_tpu.utils.checkpoint import load_state, save_state
+
+    S, T, N = 16, 12, 4
+    cfg = ByteTrackConfig(max_tracks=8, max_dets=N)
+    init_fn, step_fn = make_bytetrack(cfg)
+    rng = np.random.default_rng(0)
+    dets = rng.uniform(100, 900, (T, S, N, 6)).astype(np.float32)
+    dets[..., 2:4] = dets[..., 0:2] + 80.0
+    dets[..., 4] = 0.9
+    dets[..., 5] = 0.0
+    masks = np.ones((T, S, N), bool)
+
+    # uninterrupted
+    r_full = MultiStreamRunner(init_fn, step_fn, n_streams=S)
+    outs_full, masks_full = r_full.run(dets, masks)
+
+    # first half, checkpoint, resume in a FRESH runner
+    r_a = MultiStreamRunner(init_fn, step_fn, n_streams=S)
+    r_a.run(dets[: T // 2], masks[: T // 2])
+    save_state(r_a.states, tmp_path / "carry.npz")
+
+    r_b = MultiStreamRunner(init_fn, step_fn, n_streams=S)
+    restored = load_state(r_b.init_states(), tmp_path / "carry.npz")
+    outs_b, masks_b = r_b.run(dets[T // 2 :], masks[T // 2 :], states=restored)
+
+    np.testing.assert_array_equal(
+        np.asarray(masks_full[T // 2 :]), np.asarray(masks_b)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs_full[T // 2 :]), np.asarray(outs_b)
+    )
