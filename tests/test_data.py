@@ -134,3 +134,22 @@ def test_cli_end_to_end_mot_mini(tmp_path):
         assert frames[0] >= 1
         ids = {int(r[1]) for r in rows}
         assert len(ids) > 1  # multiple pedestrians tracked
+
+
+def test_every_shipped_yaml_constructs_its_tracker():
+    """configs/trackers/<name>.yaml kwargs must be accepted verbatim by
+    create_tracker (the reference eval builds trackers from these
+    files, src/config.cpp:76-80 + tools/motcpp_eval.cpp)."""
+    import numpy as np
+
+    import motcpp_tpu
+
+    img = np.zeros((480, 640, 3), np.uint8)
+    d = np.array([[100, 100, 200, 300, 0.9, 0]], np.float32)
+    names = ["sort", "bytetrack", "ocsort", "deepocsort", "strongsort",
+             "botsort", "boosttrack", "hybridsort", "ucmctrack"]
+    for name in names:
+        kw = load_tracker_config(name).as_kwargs()
+        tr = motcpp_tpu.create_tracker(name, max_tracks=16, max_dets=8, **kw)
+        out = tr.update(d, img)
+        assert out.shape[1] == 8, name
