@@ -106,3 +106,26 @@ def test_id_to_color_deterministic():
     assert id_to_color(7) == id_to_color(7)
     assert len(id_to_color(1)) == 3
     assert all(0 <= c <= 255 for c in id_to_color(42))
+
+
+def test_obb_seven_col_quirk_parity():
+    """7-col OBB input flows through the cores with the reference's
+    de-facto behavior: the angle column is read as confidence
+    (SURVEY.md §2.5 note; reference tracker.cpp:168-177 autodetect,
+    cores hardcode conf=col4/cls=col5). Angle below det_thresh filters
+    the detection entirely."""
+    import motcpp_tpu
+
+    tr = motcpp_tpu.create_tracker("sort", min_hits=1, max_tracks=8,
+                                   max_dets=4)
+    # angle (col 4) = 0.9 acts as conf; real conf 0.3 lands in cls slot
+    d = np.array([[150, 150, 80, 160, 0.9, 0.3, 0]], np.float32)
+    out = tr.update(d, IMG)
+    assert out.shape == (1, 8)
+    assert out[0, 5] == np.float32(0.9)  # angle surfaced as conf
+
+    tr2 = motcpp_tpu.create_tracker("sort", min_hits=1, max_tracks=8,
+                                    max_dets=4, det_thresh=0.5)
+    low = np.array([[150, 150, 80, 160, 0.2, 0.99, 0]], np.float32)
+    out2 = tr2.update(low, IMG)
+    assert out2.shape[0] == 0  # angle-as-conf below threshold: filtered
