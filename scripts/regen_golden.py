@@ -15,7 +15,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 MOT_MINI = Path("/root/reference/assets/MOT17-mini/train")
 GOLDEN = Path(__file__).resolve().parent.parent / "tests" / "golden"
 
-TRACKERS = ["sort", "bytetrack", "ocsort", "boosttrack", "ucmctrack"]
+# all 9: the CMC/ReID trackers are deterministic here too — the eval
+# runs with dummy 1080p frames (ECC/SOF on constant images yield the
+# identity warp) and no embedding files ship with MOT17-mini
+TRACKERS = ["sort", "bytetrack", "ocsort", "boosttrack", "ucmctrack",
+            "deepocsort", "strongsort", "botsort", "hybridsort"]
 
 
 def main():
