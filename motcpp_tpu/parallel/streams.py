@@ -144,6 +144,11 @@ class MultiStreamRunner:
             )
         if states is None:
             states = self._states if self._states is not None else self.init_states()
+        else:
+            # the rollout donates its state argument (donate_argnums=(0,));
+            # copy caller-supplied pytrees so e.g. a checkpoint-restored
+            # state the caller retains for retry/branching stays valid
+            states = jax.tree_util.tree_map(jnp.copy, states)
         args = (dets, masks) if embs is None else (dets, masks, embs)
         if len(self.devices) > 1:
             sharding = NamedSharding(self.mesh, P(None, "streams"))

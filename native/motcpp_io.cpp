@@ -37,7 +37,12 @@ static bool parse_line(const char* p, float* out, int max_cols, int* n_out) {
         if (*p == '\0' || *p == '\n') break;
         char* end = nullptr;
         float v = strtof(p, &end);
-        if (end == p) return n > 0;  // trailing junk: keep what we have
+        if (end == p) {
+            // trailing junk: keep the parsed prefix (matches the Python
+            // fallback and the reference's stof-catch->break behavior)
+            *n_out = n;
+            return n > 0;
+        }
         out[n++] = v;
         p = end;
     }

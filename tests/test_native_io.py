@@ -39,6 +39,31 @@ def test_parse_detections_matches_python(tmp_path):
 
 
 @needs_native
+def test_parse_malformed_lines_matches_python(tmp_path):
+    """Trailing junk keeps the parsed prefix (ADVICE r1: native parser
+    used to drop the whole row where the Python fallback kept it)."""
+    from motcpp_tpu.data.mot17 import _parse_det_text
+
+    f = tmp_path / "junk.txt"
+    f.write_text(
+        "1,-1,100,200,50,80,0.9,junk\n"  # trailing junk: keep prefix
+        "2,-1,10,20,30,40,0.5\n"  # clean line
+        "xyz\n"  # fully junk: dropped
+        "3,-1,1,2,3,4,0.1,oops\n"  # junk in the optional cls column
+    )
+    nat = native_io.parse_detections(f)
+    py = _parse_det_text(f)
+    assert len(nat) == len(py) == 3
+    for (fn, rn), (fp_, rp) in zip(nat, py):
+        assert fn == fp_
+        np.testing.assert_allclose(rn, rp, atol=1e-5)
+
+    raw = native_io.parse_floats(f, max_cols=16)
+    assert raw.shape[0] == 3
+    np.testing.assert_allclose(raw[0][:7], [1, -1, 100, 200, 50, 80, 0.9])
+
+
+@needs_native
 def test_write_mot_matches_python_format(tmp_path):
     from motcpp_tpu.data.mot_format import convert_to_mot_format
 

@@ -160,3 +160,18 @@ def test_multistream_checkpoint_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(outs_full[T // 2 :]), np.asarray(outs_b)
     )
+
+
+def test_run_with_caller_states_does_not_donate_them():
+    """ADVICE r1: run(states=...) must not invalidate the caller's pytree
+    (the rollout donates its state argument; a copy shields the caller)."""
+    cfg = SortConfig(min_hits=1, max_tracks=8, max_dets=4)
+    init_fn, step_fn = make_sort(cfg)
+    runner = MultiStreamRunner(init_fn, step_fn, n_streams=8)
+    dets, masks = _mini_inputs(T=2, S=8)
+    saved = runner.init_states()
+    out1 = runner.run(dets, masks, states=saved)
+    # the caller-retained pytree must still be readable and reusable
+    _ = jax.tree_util.tree_map(np.asarray, saved)
+    out2 = runner.run(dets, masks, states=saved)
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
