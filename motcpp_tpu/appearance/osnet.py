@@ -9,13 +9,16 @@ Person Re-Identification", ICCV 2019):
 
   conv1 7x7/2 + maxpool -> 3 stages of omni-scale residual blocks whose
   parallel depthwise-separable streams (receptive fields 3..9) are fused
-  by a shared channel-attention Aggregation Gate -> 1x1 conv -> global
-  average pool -> fc -> 512-d embedding.
+  by a shared channel-attention gate -> 1x1 conv -> global average pool
+  -> fc (Linear+BN+ReLU) -> 512-d embedding.
 
-Weights: load a converted torchreid checkpoint via
-:func:`load_torch_weights` (torch CPU is available in this image; the
-osnet state_dict layout is mapped onto the Flax param tree), or run with
-random initialization for architecture/throughput testing.
+Module names and padding mirror the torchreid layout exactly so that a
+real torchreid ``state_dict`` maps DETERMINISTICALLY (by name, not by
+shape) onto the Flax tree — including BatchNorm running statistics into
+the ``batch_stats`` collection. :func:`load_torch_weights` performs the
+conversion and raises on any unmapped or shape-mismatched tensor, and a
+torch-vs-Flax forward parity test (tests/test_appearance.py) pins the
+numerics to <=1e-4.
 """
 
 from __future__ import annotations
@@ -25,12 +28,16 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ConvBNReLU(nn.Module):
+    """torchreid ConvLayer / Conv1x1 (``conv`` + ``bn`` [+ ReLU])."""
+
     features: int
     kernel: tuple = (3, 3)
     strides: tuple = (1, 1)
+    padding: object = "VALID"
     groups: int = 1
     use_relu: bool = True
 
@@ -40,37 +47,48 @@ class ConvBNReLU(nn.Module):
             self.features,
             self.kernel,
             strides=self.strides,
-            padding="SAME",
+            padding=self.padding,
             feature_group_count=self.groups,
             use_bias=False,
+            name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, name="bn"
+        )(x)
         if self.use_relu:
             x = nn.relu(x)
         return x
 
 
 class LiteConv3x3(nn.Module):
-    """1x1 pointwise + 3x3 depthwise (the OSNet Lite convolution)."""
+    """torchreid LightConv3x3: 1x1 pointwise + 3x3 depthwise + BN + ReLU."""
 
     features: int
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
         x = nn.Conv(
             self.features,
             (3, 3),
-            padding="SAME",
+            padding=((1, 1), (1, 1)),
             feature_group_count=self.features,
             use_bias=False,
+            name="conv2",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, name="bn"
+        )(x)
         return nn.relu(x)
 
 
-class AggregationGate(nn.Module):
-    """Channel attention shared across streams (OSNet unified AG)."""
+class ChannelGate(nn.Module):
+    """torchreid ChannelGate: channel attention shared across streams.
+
+    torchreid implements fc1/fc2 as 1x1 Conv2d over the pooled (N,C,1,1)
+    map; on a pooled vector that is exactly a Dense layer, so the Flax
+    side uses Dense and the converter squeezes the (out,in,1,1) kernels.
+    """
 
     features: int
     reduction: int = 16
@@ -78,43 +96,49 @@ class AggregationGate(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = jnp.mean(x, axis=(1, 2))  # global average pool (N, C)
-        s = nn.Dense(self.features // self.reduction)(s)
+        s = nn.Dense(self.features // self.reduction, name="fc1")(s)
         s = nn.relu(s)
-        s = nn.Dense(self.features)(s)
+        s = nn.Dense(self.features, name="fc2")(s)
         s = nn.sigmoid(s)
         return x * s[:, None, None, :]
 
 
 class OSBlock(nn.Module):
-    """Omni-scale residual block with T parallel Lite-conv streams."""
+    """Omni-scale residual block: 4 parallel Lite-conv streams of depth
+    1..4 from a shared 1x1 bottleneck, fused by a SHARED channel gate."""
 
     features: int
-    streams: int = 4
     bottleneck_reduction: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.features // self.bottleneck_reduction
         identity = x
-        y = ConvBNReLU(mid, (1, 1))(x, train)
+        x1 = ConvBNReLU(mid, (1, 1), name="conv1")(x, train)
 
-        gate = AggregationGate(mid)
-        agg = None
-        for t in range(1, self.streams + 1):
-            s = y
-            for _ in range(t):
-                s = LiteConv3x3(mid)(s, train)
-            s = gate(s)
-            agg = s if agg is None else agg + s
+        # streams: conv2a (1 lite conv), conv2b (2), conv2c (3), conv2d (4)
+        x2a = LiteConv3x3(mid, name="conv2a")(x1, train)
+        x2b = LiteConv3x3(mid, name="conv2b_0")(x1, train)
+        x2b = LiteConv3x3(mid, name="conv2b_1")(x2b, train)
+        x2c = LiteConv3x3(mid, name="conv2c_0")(x1, train)
+        x2c = LiteConv3x3(mid, name="conv2c_1")(x2c, train)
+        x2c = LiteConv3x3(mid, name="conv2c_2")(x2c, train)
+        x2d = LiteConv3x3(mid, name="conv2d_0")(x1, train)
+        x2d = LiteConv3x3(mid, name="conv2d_1")(x2d, train)
+        x2d = LiteConv3x3(mid, name="conv2d_2")(x2d, train)
+        x2d = LiteConv3x3(mid, name="conv2d_3")(x2d, train)
 
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(agg)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        gate = ChannelGate(mid, name="gate")
+        x2 = gate(x2a) + gate(x2b) + gate(x2c) + gate(x2d)
+
+        x3 = ConvBNReLU(
+            self.features, (1, 1), use_relu=False, name="conv3"
+        )(x2, train)
         if identity.shape[-1] != self.features:
-            identity = nn.Conv(self.features, (1, 1), use_bias=False)(identity)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9)(
-                identity
-            )
-        return nn.relu(y + identity)
+            identity = ConvBNReLU(
+                self.features, (1, 1), use_relu=False, name="downsample"
+            )(identity, train)
+        return nn.relu(x3 + identity)
 
 
 class OSNet(nn.Module):
@@ -122,38 +146,44 @@ class OSNet(nn.Module):
 
     channels: per-stage widths; osnet_x1_0 uses (64, 256, 384, 512).
     feature_dim: output embedding size (512 like the exported models the
-    reference consumes).
+    reference consumes). Padding matches torch exactly (conv1 pad 3,
+    maxpool pad 1) so converted checkpoints are numerically faithful.
     """
 
     channels: Sequence[int] = (64, 256, 384, 512)
-    blocks_per_stage: int = 2
     feature_dim: int = 512
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c1, c2, c3, c4 = self.channels
-        # conv1 + maxpool
-        x = ConvBNReLU(c1, (7, 7), strides=(2, 2))(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        # stage 2
-        for _ in range(self.blocks_per_stage):
-            x = OSBlock(c2)(x, train)
-        x = ConvBNReLU(c2, (1, 1))(x, train)
+        x = ConvBNReLU(
+            c1, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            name="conv1",
+        )(x, train)
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
+        # stage 2 (torchreid conv2: 2 blocks + Conv1x1 transition + avgpool)
+        x = OSBlock(c2, name="conv2_0")(x, train)
+        x = OSBlock(c2, name="conv2_1")(x, train)
+        x = ConvBNReLU(c2, (1, 1), name="conv2_2_0")(x, train)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         # stage 3
-        for _ in range(self.blocks_per_stage):
-            x = OSBlock(c3)(x, train)
-        x = ConvBNReLU(c3, (1, 1))(x, train)
+        x = OSBlock(c3, name="conv3_0")(x, train)
+        x = OSBlock(c3, name="conv3_1")(x, train)
+        x = ConvBNReLU(c3, (1, 1), name="conv3_2_0")(x, train)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        # stage 4
-        for _ in range(self.blocks_per_stage):
-            x = OSBlock(c4)(x, train)
-        x = ConvBNReLU(c4, (1, 1))(x, train)
-        # head
+        # stage 4 (no spatial reduction) + conv5
+        x = OSBlock(c4, name="conv4_0")(x, train)
+        x = OSBlock(c4, name="conv4_1")(x, train)
+        x = ConvBNReLU(c4, (1, 1), name="conv5")(x, train)
+        # head: gap -> Linear -> BN1d -> ReLU (torchreid _construct_fc_layer)
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.Dense(self.feature_dim)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
-        return x
+        x = nn.Dense(self.feature_dim, name="fc_0")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, name="fc_1"
+        )(x)
+        return nn.relu(x)
 
 
 def osnet_x1_0(feature_dim: int = 512) -> OSNet:
@@ -171,59 +201,152 @@ def init_params(model: OSNet, input_hw=(256, 128), seed: int = 0):
     return model.init(rng, dummy, train=False)
 
 
-def load_torch_weights(model: OSNet, params, path: str):
-    """Map a torchreid OSNet state_dict (.pt/.pth) onto the Flax tree.
+# --------------------------------------------------------------- convert
+def _flax_path_for(torch_key: str):
+    """torch module path -> Flax module path: numeric components merge
+    into the previous name (``conv2.0.conv2b.1`` -> ``conv2_0/conv2b_1``)."""
+    parts = torch_key.split(".")
+    mods: list[str] = []
+    for c in parts[:-1]:
+        if c.isdigit() and mods:
+            mods[-1] = f"{mods[-1]}_{c}"
+        else:
+            mods.append(c)
+    return mods, parts[-1]
+
+
+def convert_torch_state_dict(state_dict) -> dict:
+    """torchreid OSNet state_dict -> ``{"params": ..., "batch_stats": ...}``.
+
+    Deterministic name-based mapping (never by shape):
+
+      * conv ``weight`` (4-D) -> ``kernel`` OIHW->HWIO (depthwise O1HW
+        lands in Flax's (H, W, 1, C) layout via the same transpose)
+      * gate fc1/fc2 Conv2d ``weight`` (out,in,1,1) -> Dense ``kernel``
+      * Linear ``weight`` (2-D) -> ``kernel`` transposed
+      * BN ``weight``/``bias`` -> params ``scale``/``bias``;
+        ``running_mean``/``running_var`` -> batch_stats ``mean``/``var``
+      * ``classifier.*`` (training head) and ``num_batches_tracked`` skipped
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, mods, leaf_name, value):
+        node = tree
+        for m in mods:
+            node = node.setdefault(m, {})
+        node[leaf_name] = jnp.asarray(value)
+
+    keys = set(state_dict.keys())
+    for key, tensor in state_dict.items():
+        if key.startswith("classifier.") or key.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(
+            tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
+        )
+        mods, leaf = _flax_path_for(key)
+        module = key.rsplit(".", 1)[0]
+        is_bn = f"{module}.running_mean" in keys
+
+        if leaf == "running_mean":
+            put(batch_stats, mods, "mean", arr)
+        elif leaf == "running_var":
+            put(batch_stats, mods, "var", arr)
+        elif leaf == "weight":
+            if is_bn:
+                put(params, mods, "scale", arr)
+            elif arr.ndim == 4:
+                if mods and mods[-1] in ("fc1", "fc2"):
+                    # ChannelGate 1x1 Conv2d -> Dense
+                    put(params, mods, "kernel", arr[:, :, 0, 0].T)
+                else:
+                    put(params, mods, "kernel", np.transpose(arr, (2, 3, 1, 0)))
+            elif arr.ndim == 2:
+                put(params, mods, "kernel", arr.T)
+            else:
+                raise ValueError(f"unhandled weight shape {arr.shape} at {key}")
+        elif leaf == "bias":
+            put(params, mods, "bias", arr)
+        else:
+            raise ValueError(f"unhandled state_dict entry: {key}")
+
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def _flat_paths(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flat_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def load_torch_weights(model: OSNet, variables, path: str) -> dict:
+    """Load a torchreid OSNet checkpoint (.pt/.pth) into full Flax
+    variables (params + batch_stats), verifying the converted tree is
+    exactly congruent with ``variables`` (every leaf present, every
+    shape equal) — raises ValueError otherwise.
 
     Equivalent role to the reference's ONNX export + ORT session load
-    (reference: scripts/export_reid_onnx.py); torch (CPU) ships in this
-    image so checkpoints convert directly. Tensors are matched by
-    traversal order within compatible shapes; conv kernels transpose
-    OIHW -> HWIO (depthwise -> HWOI-style Flax layout).
+    (reference: scripts/export_reid_onnx.py, onnx_backend.cpp:13-108).
     """
-    import numpy as np
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    tensors = [
-        (k, v.numpy()) for k, v in sd.items() if hasattr(v, "numpy")
-    ]
+    # torchreid checkpoints sometimes carry a DataParallel "module." prefix
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    converted = convert_torch_state_dict(sd)
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    import flax
 
-    def torch_to_flax(arr, target_shape):
-        if arr.ndim == 4:
-            # OIHW -> HWIO
-            cand = np.transpose(arr, (2, 3, 1, 0))
-            if cand.shape == tuple(target_shape):
-                return cand
-            # depthwise: O1HW -> HWIO with I=1
-            cand = np.transpose(arr, (2, 3, 1, 0))
-            if cand.shape == tuple(target_shape):
-                return cand
-        elif arr.ndim == 2:
-            cand = arr.T
-            if cand.shape == tuple(target_shape):
-                return cand
-        if arr.shape == tuple(target_shape):
-            return arr
-        return None
-
-    used = [False] * len(tensors)
-    new_leaves = []
-    for path_, leaf in flat:
-        matched = None
-        for idx, (name, arr) in enumerate(tensors):
-            if used[idx]:
-                continue
-            cand = torch_to_flax(arr, leaf.shape)
-            if cand is not None:
-                matched = cand
-                used[idx] = True
-                break
-        new_leaves.append(
-            jnp.asarray(matched) if matched is not None else leaf
+    ref = flax.core.unfreeze(variables)
+    errors = []
+    for coll in ("params", "batch_stats"):
+        want = _flat_paths(ref.get(coll, {}))
+        got = _flat_paths(converted.get(coll, {}))
+        for p in sorted(set(want) | set(got)):
+            name = f"{coll}/" + "/".join(p)
+            if p not in got:
+                errors.append(f"missing in checkpoint: {name}")
+            elif p not in want:
+                errors.append(f"unexpected in checkpoint: {name}")
+            elif tuple(got[p].shape) != tuple(want[p].shape):
+                errors.append(
+                    f"shape mismatch at {name}: checkpoint "
+                    f"{tuple(got[p].shape)} vs model {tuple(want[p].shape)}"
+                )
+    if errors:
+        raise ValueError(
+            "torch checkpoint does not map onto this OSNet:\n  "
+            + "\n  ".join(errors[:20])
+            + (f"\n  ... and {len(errors) - 20} more" if len(errors) > 20 else "")
         )
-    treedef = jax.tree_util.tree_structure(params)
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return converted
+
+
+# ------------------------------------------------------------- npz io
+def save_npz_variables(path, variables) -> None:
+    """Save full Flax variables as a flat .npz ('params/conv1/conv/kernel'
+    style keys) — the output format of scripts/convert_reid_weights.py."""
+    flat = {}
+    for coll, tree in variables.items():
+        for p, v in _flat_paths(dict(tree)).items():
+            flat["/".join((coll,) + p)] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_npz_variables(path) -> dict:
+    """Inverse of :func:`save_npz_variables`."""
+    out: dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            parts = key.split("/")
+            node = out
+            for m in parts[:-1]:
+                node = node.setdefault(m, {})
+            node[parts[-1]] = jnp.asarray(data[key])
+    return out

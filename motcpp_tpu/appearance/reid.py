@@ -115,8 +115,10 @@ class ReIDBackend:
 
     Args:
         weights: optional path to a torchreid checkpoint (.pt/.pth) —
-            converted to Flax params — or a .npz of pre-converted
-            params. Without weights the CNN runs randomly initialized
+            name-mapped to full Flax variables (params + BatchNorm
+            batch_stats) — or a .npz of pre-converted variables
+            (scripts/convert_reid_weights.py). Unknown suffixes raise.
+            Without weights the CNN runs randomly initialized
             (embeddings are still deterministic and L2-normalized; only
             useful for shape/throughput work).
         model_name: drives input-shape and normalization heuristics; when
@@ -126,6 +128,7 @@ class ReIDBackend:
     def __init__(self, weights: str = "", model_name: str = "", seed: int = 0):
         from motcpp_tpu.appearance.osnet import (
             init_params,
+            load_npz_variables,
             load_torch_weights,
             osnet_x1_0,
         )
@@ -137,11 +140,22 @@ class ReIDBackend:
         self.norm = determine_normalization(model_name)
         self.model = osnet_x1_0()
         self.variables = init_params(self.model, self.input_shape, seed)
-        if weights and str(weights).endswith((".pt", ".pth")):
-            self.variables = dict(self.variables)
-            self.variables["params"] = load_torch_weights(
-                self.model, self.variables["params"], weights
-            )
+        if weights:
+            w = str(weights)
+            if w.endswith((".pt", ".pth")):
+                # full variables: params + batch_stats, name-mapped and
+                # shape-verified against this model (raises on mismatch)
+                self.variables = load_torch_weights(
+                    self.model, self.variables, weights
+                )
+            elif w.endswith(".npz"):
+                self.variables = load_npz_variables(weights)
+            else:
+                raise ValueError(
+                    f"unrecognized ReID weights format: {weights!r} "
+                    "(expected .pt/.pth torchreid checkpoint or .npz from "
+                    "scripts/convert_reid_weights.py)"
+                )
 
         @jax.jit
         def _forward(variables, crops):

