@@ -49,8 +49,16 @@ def run_sequence(
     output_file: Path,
     dataset,
     use_images: bool = False,
+    no_ablation: bool = False,
+    limit_frames: int = 0,
 ):
-    """Track one sequence, appending MOT rows; returns frames processed."""
+    """Track one sequence, appending MOT rows; returns frames processed.
+
+    no_ablation: skip the reference's ablation-split offset and process
+    every detection frame from frame 1 (for long-horizon regression —
+    the ablation window is only as long as the GT span).
+    limit_frames: if > 0, stop after this many frames.
+    """
     from motcpp_tpu.data import convert_to_mot_format, write_mot_results
     from motcpp_tpu.data.mot17 import read_gt_max_frame
 
@@ -59,7 +67,7 @@ def run_sequence(
 
     frames = sorted(detections)
     frame_offset = 0
-    if frames:
+    if frames and not no_ablation:
         max_gt = read_gt_max_frame(seq_info.gt_path)
         max_det = frames[-1]
         if max_gt > 0 and max_det > max_gt * 1.5:
@@ -69,6 +77,8 @@ def run_sequence(
                 f"  Detected ablation offset: {frame_offset} "
                 f"(processing {len(frames)} frames)"
             )
+    if limit_frames > 0:
+        frames = frames[:limit_frames]
 
     dummy = np.zeros((1080, 1920, 3), np.uint8)
     processed = 0
@@ -116,6 +126,15 @@ def main(argv=None):
         help="load real frames (default: dummy 1080p images, like the "
         "reference eval when frames are missing)",
     )
+    ap.add_argument(
+        "--no-ablation", action="store_true",
+        help="process every detection frame from frame 1 instead of the "
+        "reference's ablation window (long-horizon regression runs)",
+    )
+    ap.add_argument(
+        "--limit-frames", type=int, default=0,
+        help="stop each sequence after N frames (0 = all)",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -151,6 +170,8 @@ def main(argv=None):
             out_dir / f"{seq.name}.txt",
             dataset,
             use_images=args.images,
+            no_ablation=args.no_ablation,
+            limit_frames=args.limit_frames,
         )
         print(f"  {n} frames in {time.time()-t0:.1f}s -> {out_dir / (seq.name + '.txt')}")
 

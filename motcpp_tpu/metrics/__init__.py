@@ -11,6 +11,7 @@ Multi-object Tracking", IJCV 2020; CLEAR-MOT; IDF1).
 
 from motcpp_tpu.metrics.mot_metrics import (
     clear_metrics,
+    combine_metrics,
     evaluate_sequence,
     hota_metrics,
     identity_metrics,
@@ -19,6 +20,7 @@ from motcpp_tpu.metrics.mot_metrics import (
 
 __all__ = [
     "clear_metrics",
+    "combine_metrics",
     "evaluate_sequence",
     "hota_metrics",
     "identity_metrics",

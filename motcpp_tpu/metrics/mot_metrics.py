@@ -50,10 +50,69 @@ def load_mot_file(path, is_gt: bool = False, gt_classes=(1,)):
         frames.setdefault(frame, []).append(
             (tid, x, y, x + w, y + h, conf)
         )
+    return _pack_frames(frames)
+
+
+def _pack_frames(frames):
     out = {}
     for f, rows in frames.items():
         arr = np.asarray(rows, np.float64)
         out[f] = (arr[:, 0].astype(int), arr[:, 1:5], arr[:, 5])
+    return out
+
+
+# MOT17 ignore classes whose matched predictions are REMOVED before
+# scoring (TrackEval's MotChallenge2DBox preprocessing): person on
+# vehicle (2), static person (7), distractor (8), reflection (12)
+DISTRACTOR_CLASSES = (2, 7, 8, 12)
+
+
+def load_mot_raw(path):
+    """GT with ALL rows kept; per frame (ids, boxes_xyxy, classes)."""
+    frames: dict = {}
+    try:
+        data = np.loadtxt(path, delimiter=",", ndmin=2)
+    except (OSError, ValueError):
+        return frames
+    if data.size == 0:
+        return frames
+    for row in data:
+        cls = row[7] if len(row) > 7 else 1.0
+        frames.setdefault(int(row[0]), []).append(
+            (row[1], row[2], row[3], row[2] + row[4], row[3] + row[5], cls)
+        )
+    return _pack_frames(frames)
+
+
+def remove_distractor_matches(
+    pred: dict, gt_raw: dict, iou_thr: float = 0.5,
+    distractors=DISTRACTOR_CLASSES,
+) -> dict:
+    """TrackEval MOT17 preprocessing: per frame, Hungarian-match tracker
+    boxes against the RAW GT (all classes, including ignore rows); any
+    prediction matched (IoU >= 0.5) to a distractor-class GT box is
+    dropped before metrics are computed. Without this, trackers are
+    punished with FPs for correctly tracking static persons/reflections
+    the benchmark deliberately ignores."""
+    out = {}
+    dset = set(int(c) for c in distractors)
+    for f, (p_ids, p_box, p_conf) in pred.items():
+        g = gt_raw.get(f)
+        if g is None or len(p_ids) == 0:
+            out[f] = (p_ids, p_box, p_conf)
+            continue
+        _, g_box, g_cls = g
+        iou = _iou_matrix(g_box, p_box)
+        score = np.where(iou >= iou_thr - 1e-9, iou, np.nan)
+        cost = np.where(np.isnan(score), 1e6, -score)
+        drop = np.zeros(len(p_ids), bool)
+        if iou.size:
+            ri, ci = linear_sum_assignment(cost)
+            for i, j in zip(ri, ci):
+                if not np.isnan(score[i, j]) and int(g_cls[i]) in dset:
+                    drop[j] = True
+        keep = ~drop
+        out[f] = (p_ids[keep], p_box[keep], p_conf[keep])
     return out
 
 
@@ -124,13 +183,14 @@ def clear_metrics(gt: dict, pred: dict, iou_thr: float = 0.5) -> dict:
         ratio = gt_matched_frames.get(gid, 0) / total
         if ratio >= 0.8:
             mt += 1
-        elif ratio <= 0.2:
+        elif ratio < 0.2:  # strict <, matching TrackEval's ML boundary
             ml += 1
         else:
             pt += 1
     return dict(
         MOTA=100.0 * mota, MOTP=100.0 * motp, TP=tp, FP=fp, FN=fn,
         IDSW=idsw, MT=mt, PT=pt, ML=ml, nGT=n_gt,
+        _motp_sum=motp_sum,  # accumulator for cross-sequence pooling
     )
 
 
@@ -209,6 +269,7 @@ def hota_metrics(gt: dict, pred: dict) -> dict:
     )
 
     hota_a, deta_a, assa_a = [], [], []
+    tp_a, fn_a, fp_a, assw_a = [], [], [], []
     for alpha in alphas:
         tp = 0
         fn = 0
@@ -231,24 +292,99 @@ def hota_metrics(gt: dict, pred: dict) -> dict:
         ass = match_count / np.maximum(
             g_count[:, None] + p_count[None, :] - match_count, 1e-12
         )
-        assa = (match_count * ass).sum() / max(tp, 1e-12)
+        assw = (match_count * ass).sum()
+        assa = assw / max(tp, 1e-12)
         deta_a.append(deta)
         assa_a.append(assa)
         hota_a.append(np.sqrt(deta * assa))
+        tp_a.append(tp)
+        fn_a.append(fn)
+        fp_a.append(fp)
+        assw_a.append(assw)
 
     return dict(
         HOTA=100.0 * float(np.mean(hota_a)),
         DetA=100.0 * float(np.mean(deta_a)),
         AssA=100.0 * float(np.mean(assa_a)),
+        # per-alpha accumulators for cross-sequence pooling
+        _hota_tp=np.asarray(tp_a),
+        _hota_fn=np.asarray(fn_a),
+        _hota_fp=np.asarray(fp_a),
+        _hota_assw=np.asarray(assw_a),
     )
 
 
 def evaluate_sequence(gt_path, pred_path, gt_classes=(1,)) -> dict:
-    """All three metric families for one sequence."""
+    """All three metric families for one sequence.
+
+    Keys prefixed ``_`` are pooling accumulators consumed by
+    :func:`combine_metrics`; drop them for display.
+    """
     gt = load_mot_file(gt_path, is_gt=True, gt_classes=gt_classes)
     pred = load_mot_file(pred_path)
+    # Truncated-GT guard: when the GT covers fewer frames than the
+    # results (e.g. the bundled MOT17-mini GT spans frames 1-8 of a
+    # 1050-frame det file), score only the GT's frame span — otherwise
+    # every prediction past it counts as a false positive. No-op when
+    # GT covers the whole sequence.
+    if gt:
+        max_gt_frame = max(gt)
+        pred = {f: v for f, v in pred.items() if f <= max_gt_frame}
+    # TrackEval-style MOT preprocessing: drop predictions that match
+    # distractor-class GT (static persons, reflections, ...)
+    pred = remove_distractor_matches(pred, load_mot_raw(gt_path))
     out = {}
     out.update(clear_metrics(gt, pred))
     out.update(identity_metrics(gt, pred))
     out.update(hota_metrics(gt, pred))
+    return out
+
+
+def combine_metrics(rows: list) -> dict:
+    """Pool per-sequence results the way TrackEval's COMBINED row does:
+    sum the accumulators across sequences, THEN form ratios (not an
+    average of per-sequence ratios).
+
+      * CLEAR: pooled TP/FP/FN/IDSW/nGT -> MOTA; MOTP = sum(iou)/sum(TP);
+        MT/PT/ML summed (they are per-track counts).
+      * Identity: pooled IDTP/IDFN/IDFP -> IDF1/IDP/IDR.
+      * HOTA: per-alpha pooled TP/FN/FP and association mass ->
+        DetA/AssA per alpha, averaged over the 19 alphas.
+    """
+    if not rows:
+        return {}
+    tp = sum(m["TP"] for m in rows)
+    fp = sum(m["FP"] for m in rows)
+    fn = sum(m["FN"] for m in rows)
+    idsw = sum(m["IDSW"] for m in rows)
+    n_gt = sum(m["nGT"] for m in rows)
+    motp_sum = sum(m["_motp_sum"] for m in rows)
+    out = dict(
+        MOTA=100.0 * (1.0 - (fn + fp + idsw) / max(n_gt, 1)),
+        MOTP=100.0 * motp_sum / max(tp, 1),
+        TP=tp, FP=fp, FN=fn, IDSW=idsw, nGT=n_gt,
+        MT=sum(m["MT"] for m in rows),
+        PT=sum(m["PT"] for m in rows),
+        ML=sum(m["ML"] for m in rows),
+    )
+    idtp = sum(m["IDTP"] for m in rows)
+    idfn = sum(m["IDFN"] for m in rows)
+    idfp = sum(m["IDFP"] for m in rows)
+    out.update(
+        IDF1=100.0 * idtp / max(idtp + 0.5 * idfn + 0.5 * idfp, 1e-12),
+        IDP=100.0 * idtp / max(idtp + idfp, 1e-12),
+        IDR=100.0 * idtp / max(idtp + idfn, 1e-12),
+        IDTP=idtp, IDFN=idfn, IDFP=idfp,
+    )
+    h_tp = np.sum([m["_hota_tp"] for m in rows], axis=0)
+    h_fn = np.sum([m["_hota_fn"] for m in rows], axis=0)
+    h_fp = np.sum([m["_hota_fp"] for m in rows], axis=0)
+    h_assw = np.sum([m["_hota_assw"] for m in rows], axis=0)
+    deta_a = h_tp / np.maximum(h_tp + h_fn + h_fp, 1e-12)
+    assa_a = h_assw / np.maximum(h_tp, 1e-12)
+    out.update(
+        HOTA=100.0 * float(np.mean(np.sqrt(deta_a * assa_a))),
+        DetA=100.0 * float(np.mean(deta_a)),
+        AssA=100.0 * float(np.mean(assa_a)),
+    )
     return out

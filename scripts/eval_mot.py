@@ -24,7 +24,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from motcpp_tpu.metrics import evaluate_sequence  # noqa: E402
+from motcpp_tpu.metrics import combine_metrics, evaluate_sequence  # noqa: E402
+
+
+def _display(m: dict) -> dict:
+    """Drop pooling accumulators (non-JSON-serializable arrays)."""
+    return {k: v for k, v in m.items() if not k.startswith("_")}
 
 
 def main(argv=None):
@@ -53,7 +58,9 @@ def main(argv=None):
         return 1
 
     if args.json:
-        print(json.dumps(rows))
+        combined = _display(combine_metrics(rows))
+        combined["seq"] = "COMBINED"
+        print(json.dumps([_display(m) for m in rows] + [combined]))
         return 0
 
     keys = ["HOTA", "MOTA", "IDF1", "DetA", "AssA", "MOTP", "IDSW", "FP", "FN", "MT", "ML"]
@@ -68,13 +75,16 @@ def main(argv=None):
                 for k in keys
             )
         )
-    # combined (simple average over sequences; det-weighted would need
-    # pooled accumulators — sufficient for parity comparisons)
+    # combined: pooled accumulators (TrackEval semantics), not an
+    # average of per-sequence ratios
     print("-" * len(hdr))
-    avg = {k: sum(m[k] for m in rows) / len(rows) for k in keys[:6]}
+    comb = combine_metrics(rows)
     print(
-        f"{'COMBINED(avg)':22s}"
-        + "".join(f"{avg[k]:8.2f}" for k in keys[:6])
+        f"{'COMBINED':22s}"
+        + "".join(
+            f"{comb[k]:8.2f}" if isinstance(comb[k], float) else f"{comb[k]:8d}"
+            for k in keys
+        )
     )
     return 0
 

@@ -1,0 +1,74 @@
+"""Real-data accuracy regression on the bundled MOT17-mini (VERDICT r1 #2).
+
+Scores the checked-in long-horizon golden outputs (tests/golden_long,
+--no-ablation runs over real FRCNN detections) against the bundled GT
+(frames 1-8) with the in-repo HOTA/CLEAR/Identity metrics, and pins every
+tracker's numbers to tests/accuracy_mot17mini.json. Because the goldens
+are byte-pinned separately (test_golden.py), this catches metric-layer
+regressions; because the JSON is committed, it also documents each
+tracker's measured accuracy in-repo.
+
+NOTE on the window: the mini GT spans det frames 1-8 (verified by IoU
+overlap: 187/336 GT boxes have an IoU>=0.5 FRCNN det at offset 0 vs
+48/336 at the ablation offset), so accuracy is measured on no-ablation
+runs. The ablation-offset plumbing itself (tools/motcpp_eval.cpp:336-375
+behavior) stays pinned by tests/golden.
+
+Numbers are FN-dominated (FP=0, IDSW=0 across all 9): the public FRCNN
+detections only cover ~56% of GT boxes at IoU 0.5, which caps DetA; the
+association side (AssA 69-95) is where trackers differentiate.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+HERE = Path(__file__).resolve().parent
+MOT_MINI = HERE.parent / "assets" / "MOT17-mini" / "train"
+GOLDEN_LONG = HERE / "golden_long"
+TABLE = HERE / "accuracy_mot17mini.json"
+
+needs_assets = pytest.mark.skipif(
+    not (MOT_MINI.exists() and TABLE.exists()),
+    reason="MOT17-mini assets not available",
+)
+
+EXPECTED = json.loads(TABLE.read_text()) if TABLE.exists() else {}
+
+
+def _evaluate(tracker):
+    from motcpp_tpu.metrics import combine_metrics, evaluate_sequence
+
+    rows = []
+    for res in sorted((GOLDEN_LONG / tracker).glob("*.txt")):
+        gt = MOT_MINI / res.stem / "gt" / "gt.txt"
+        assert gt.exists(), gt
+        rows.append(evaluate_sequence(gt, res))
+    return combine_metrics(rows)
+
+
+@needs_assets
+@pytest.mark.parametrize("tracker", sorted(EXPECTED))
+def test_accuracy_pinned(tracker):
+    got = _evaluate(tracker)
+    want = EXPECTED[tracker]
+    for key in ("HOTA", "MOTA", "IDF1", "DetA", "AssA", "MOTP"):
+        assert got[key] == pytest.approx(want[key], abs=0.05), (
+            f"{tracker} {key}: measured {got[key]:.2f} vs pinned "
+            f"{want[key]:.2f} — if intentional, regenerate "
+            "tests/accuracy_mot17mini.json (see docs/benchmarking.md)"
+        )
+    for key in ("IDSW", "FP", "FN", "MT", "ML"):
+        assert got[key] == want[key], f"{tracker} {key}"
+
+
+@needs_assets
+def test_accuracy_sanity_floors():
+    """Coarse floors independent of the pinned table: the motion
+    trackers must clear HOTA 60 / IDF1 60 on this window, and no
+    tracker may produce ID switches or false positives here."""
+    for tracker in ("sort", "bytetrack", "botsort", "boosttrack"):
+        m = _evaluate(tracker)
+        assert m["HOTA"] > 60 and m["IDF1"] > 60, (tracker, m["HOTA"], m["IDF1"])
+        assert m["IDSW"] == 0 and m["FP"] == 0

@@ -14,7 +14,7 @@ from motcpp_tpu.data import (
     write_mot_results,
 )
 
-MOT_MINI = Path("/root/reference/assets/MOT17-mini/train")
+MOT_MINI = Path(__file__).resolve().parent.parent / "assets" / "MOT17-mini" / "train"
 needs_assets = pytest.mark.skipif(
     not MOT_MINI.exists(), reason="MOT17-mini assets not available"
 )
