@@ -9,9 +9,12 @@ density (~16 objects/frame, jittered boxes, births/deaths) are tracked
 for T frames as one jitted scan; steady-state wall clock over R repeats
 gives aggregate frames/sec, reported as streams sustainable at 30 FPS.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "streams_at_30fps_per_chip",
-   "vs_baseline": N / 256}
+Default (no --tracker): benchmark ALL 9 trackers, printing one JSON line
+per tracker with the flagship (ByteTrack) LAST — a single-line parse of
+the output therefore lands on ByteTrack, while the full output captures
+the whole scoreboard:
+  {"metric": "<tracker>_streams_at_30fps_per_chip", "value": N,
+   "unit": "streams_at_30fps_per_chip", "vs_baseline": N / 256}
 """
 
 from __future__ import annotations
@@ -22,6 +25,15 @@ import sys
 import time
 
 import numpy as np
+
+# flagship LAST: a single-line (tail -1) parse must land on bytetrack
+ALL_TRACKERS = ["sort", "ocsort", "deepocsort", "strongsort", "botsort",
+                "boosttrack", "hybridsort", "ucmctrack", "bytetrack"]
+
+# saturation points measured on TPU v5e (docs/benchmarking.md): the
+# motion-light trackers saturate at S=4096, the heavier ones at S=2048
+DEFAULT_STREAMS = {"sort": 4096, "bytetrack": 4096}
+DEFAULT_STREAMS_OTHER = 2048
 
 
 def synth_stream_dets(rng, T, S, N, n_obj=16, img_w=1920, img_h=1080):
@@ -49,41 +61,9 @@ def synth_stream_dets(rng, T, S, N, n_obj=16, img_w=1920, img_h=1080):
     return dets, masks
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--tracker", default="bytetrack",
-        choices=["sort", "bytetrack", "ocsort", "deepocsort", "strongsort",
-                 "botsort", "boosttrack", "hybridsort", "ucmctrack"],
-    )
-    ap.add_argument("--streams", type=int, default=4096)
-    ap.add_argument("--frames", type=int, default=60)
-    ap.add_argument("--repeats", type=int, default=5)
-    ap.add_argument("--max-tracks", type=int, default=64)
-    ap.add_argument("--max-dets", type=int, default=32)
-    ap.add_argument("--objects", type=int, default=16)
-    ap.add_argument("--lap", default="auction_pallas",
-                    choices=["jv", "auction", "auction_pallas"],
-                    help="assignment kernel (auction_pallas = fastest "
-                    "measured on TPU; falls back to interpret mode on CPU)")
-    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument(
-        "--emb-dim", type=int, default=0,
-        help="feed random unit embeddings of this dim through the "
-        "sharded rollout (ReID-path benchmark; emb-capable trackers only)",
-    )
-    args = ap.parse_args()
-
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    import jax
-    import jax.numpy as jnp
-
-    from motcpp_tpu.parallel import MultiStreamRunner
-
-    if args.tracker == "sort":
+def build_tracker_fns(tracker: str, args):
+    """(init_fn, step_fn) with the scoreboard configs."""
+    if tracker == "sort":
         from motcpp_tpu.models.sort import SortConfig, make_sort
 
         cfg = SortConfig(
@@ -93,8 +73,8 @@ def main():
             max_dets=args.max_dets,
             lap_impl=args.lap,
         )
-        init_fn, step_fn = make_sort(cfg)
-    elif args.tracker == "bytetrack":
+        return make_sort(cfg)
+    if tracker == "bytetrack":
         from motcpp_tpu.models.bytetrack import ByteTrackConfig, make_bytetrack
 
         cfg = ByteTrackConfig(
@@ -102,8 +82,8 @@ def main():
             max_dets=args.max_dets,
             lap_impl=args.lap,
         )
-        init_fn, step_fn = make_bytetrack(cfg)
-    elif args.tracker == "ocsort":
+        return make_bytetrack(cfg)
+    if tracker == "ocsort":
         from motcpp_tpu.models.ocsort import OCSortConfig, make_ocsort
 
         cfg = OCSortConfig(
@@ -112,68 +92,78 @@ def main():
             max_dets=args.max_dets,
             lap_impl=args.lap,
         )
-        init_fn, step_fn = make_ocsort(cfg)
-    else:
-        factories = {
-            "deepocsort": (
-                "motcpp_tpu.models.deepocsort",
-                "DeepOCSortConfig",
-                "make_deepocsort",
-                dict(min_hits=1, embedding_off=True, cmc_off=True),
-            ),
-            "strongsort": (
-                "motcpp_tpu.models.strongsort",
-                "StrongSortConfig",
-                "make_strongsort",
-                dict(n_init=1, gallery_cap=16),
-            ),
-            "botsort": (
-                "motcpp_tpu.models.botsort",
-                "BotSortConfig",
-                "make_botsort",
-                dict(with_reid=False),
-            ),
-            "boosttrack": (
-                "motcpp_tpu.models.boosttrack",
-                "BoostTrackConfig",
-                "make_boosttrack",
-                dict(min_hits=1),
-            ),
-            "hybridsort": (
-                "motcpp_tpu.models.hybridsort",
-                "HybridSortConfig",
-                "make_hybridsort",
-                dict(min_hits=1, with_reid=False),
-            ),
-            "ucmctrack": (
-                "motcpp_tpu.models.ucmctrack",
-                "UCMCConfig",
-                "make_ucmctrack",
-                dict(),
-            ),
-        }
-        import importlib
+        return make_ocsort(cfg)
 
-        mod_name, cfg_name, make_name, extra = factories[args.tracker]
-        if args.emb_dim > 0:
-            # emb-capable configs take the embedding width; reid flags on
-            if args.tracker in ("strongsort", "botsort", "hybridsort",
-                                "deepocsort", "boosttrack"):
-                extra["emb_dim"] = args.emb_dim
-            if args.tracker in ("botsort", "hybridsort", "boosttrack"):
-                extra["with_reid"] = True
-            if args.tracker == "deepocsort":
-                extra["embedding_off"] = False
-        mod = importlib.import_module(mod_name)
-        cfg = getattr(mod, cfg_name)(
-            max_tracks=args.max_tracks,
-            max_dets=args.max_dets,
-            lap_impl=args.lap,
-            **extra,
-        )
-        init_fn, step_fn = getattr(mod, make_name)(cfg)
+    factories = {
+        "deepocsort": (
+            "motcpp_tpu.models.deepocsort",
+            "DeepOCSortConfig",
+            "make_deepocsort",
+            dict(min_hits=1, embedding_off=True, cmc_off=True),
+        ),
+        "strongsort": (
+            "motcpp_tpu.models.strongsort",
+            "StrongSortConfig",
+            "make_strongsort",
+            dict(n_init=1, gallery_cap=16),
+        ),
+        "botsort": (
+            "motcpp_tpu.models.botsort",
+            "BotSortConfig",
+            "make_botsort",
+            dict(with_reid=False),
+        ),
+        "boosttrack": (
+            "motcpp_tpu.models.boosttrack",
+            "BoostTrackConfig",
+            "make_boosttrack",
+            dict(min_hits=1),
+        ),
+        "hybridsort": (
+            "motcpp_tpu.models.hybridsort",
+            "HybridSortConfig",
+            "make_hybridsort",
+            dict(min_hits=1, with_reid=False),
+        ),
+        "ucmctrack": (
+            "motcpp_tpu.models.ucmctrack",
+            "UCMCConfig",
+            "make_ucmctrack",
+            dict(),
+        ),
+    }
+    import importlib
 
-    S, T, N = args.streams, args.frames, args.max_dets
+    mod_name, cfg_name, make_name, extra = factories[tracker]
+    if args.emb_dim > 0:
+        # emb-capable configs take the embedding width; reid flags on
+        if tracker in ("strongsort", "botsort", "hybridsort",
+                       "deepocsort", "boosttrack"):
+            extra["emb_dim"] = args.emb_dim
+        if tracker in ("botsort", "hybridsort", "boosttrack"):
+            extra["with_reid"] = True
+        if tracker == "deepocsort":
+            extra["embedding_off"] = False
+    mod = importlib.import_module(mod_name)
+    cfg = getattr(mod, cfg_name)(
+        max_tracks=args.max_tracks,
+        max_dets=args.max_dets,
+        lap_impl=args.lap,
+        **extra,
+    )
+    return getattr(mod, make_name)(cfg)
+
+
+def bench_one(tracker: str, args) -> dict:
+    """Benchmark one tracker; returns the JSON record."""
+    import jax
+    import jax.numpy as jnp
+
+    from motcpp_tpu.parallel import MultiStreamRunner
+
+    init_fn, step_fn = build_tracker_fns(tracker, args)
+    S = args.streams or DEFAULT_STREAMS.get(tracker, DEFAULT_STREAMS_OTHER)
+    T, N = args.frames, args.max_dets
     rng = np.random.default_rng(0)
     dets, masks = synth_stream_dets(rng, T, S, N, n_obj=args.objects)
 
@@ -201,7 +191,7 @@ def main():
     emissions = int(np.asarray(out[1]).sum())
     compile_s = time.time() - t0
     print(
-        f"# compile+first rollout: {compile_s:.1f}s "
+        f"# [{tracker}] compile+first rollout: {compile_s:.1f}s "
         f"({emissions} track emissions)",
         file=sys.stderr,
     )
@@ -220,21 +210,57 @@ def main():
     streams_at_30 = agg_fps / 30.0
     dev = jax.devices()[0]
     print(
-        f"# {dev.device_kind}: {agg_fps:,.0f} aggregate FPS, "
+        f"# [{tracker}] {dev.device_kind}: {agg_fps:,.0f} aggregate FPS, "
         f"{dt/T*1e3:.2f} ms/frame-batch, S={S} K={args.max_tracks} "
         f"N={args.max_dets}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.tracker}_streams_at_30fps_per_chip",
-                "value": round(streams_at_30, 1),
-                "unit": "streams_at_30fps_per_chip",
-                "vs_baseline": round(streams_at_30 / 256.0, 3),
-            }
-        )
+    return {
+        "metric": f"{tracker}_streams_at_30fps_per_chip",
+        "value": round(streams_at_30, 1),
+        "unit": "streams_at_30fps_per_chip",
+        "vs_baseline": round(streams_at_30 / 256.0, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--tracker", default="",
+        choices=[""] + ALL_TRACKERS,
+        help="single tracker to benchmark; default: all 9 (one JSON "
+        "line each, bytetrack last)",
     )
+    ap.add_argument("--all", action="store_true",
+                    help="benchmark all 9 trackers (the default)")
+    ap.add_argument("--streams", type=int, default=0,
+                    help="stream count (0 = per-tracker saturation "
+                    "default: 4096 sort/bytetrack, 2048 others)")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--max-tracks", type=int, default=64)
+    ap.add_argument("--max-dets", type=int, default=32)
+    ap.add_argument("--objects", type=int, default=16)
+    ap.add_argument("--lap", default="auction_pallas",
+                    choices=["jv", "auction", "auction_pallas"],
+                    help="assignment kernel (auction_pallas = fastest "
+                    "measured on TPU; falls back to interpret mode on CPU)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--emb-dim", type=int, default=0,
+        help="feed random unit embeddings of this dim through the "
+        "sharded rollout (ReID-path benchmark; emb-capable trackers only)",
+    )
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    trackers = [args.tracker] if args.tracker else ALL_TRACKERS
+    for trk in trackers:
+        print(json.dumps(bench_one(trk, args)), flush=True)
 
 
 if __name__ == "__main__":

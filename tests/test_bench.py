@@ -11,28 +11,37 @@ import pytest
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def _run_bench(*args):
+def _run_bench_raw(*args):
     r = subprocess.run(
         [sys.executable, str(ROOT / "bench.py"), "--cpu", "--streams", "8",
          "--frames", "4", "--repeats", "1", "--max-tracks", "16",
          "--max-dets", "8", "--objects", "4", *args],
-        capture_output=True, text=True, timeout=900, cwd=ROOT,
+        capture_output=True, text=True, timeout=1800, cwd=ROOT,
     )
     assert r.returncode == 0, r.stderr
-    line = r.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    return [json.loads(line) for line in r.stdout.strip().splitlines()]
 
 
-def test_bench_json_contract_default_tracker():
-    out = _run_bench()
-    assert out["unit"] == "streams_at_30fps_per_chip"
-    assert out["metric"] == "bytetrack_streams_at_30fps_per_chip"
-    assert out["value"] > 0
-    # value is rounded to 0.1 and vs_baseline to 1e-3 from the UNROUNDED
-    # value, so allow both rounding granularities
-    assert out["vs_baseline"] == pytest.approx(
-        out["value"] / 256.0, abs=0.05 / 256.0 + 5e-4 + 1e-9
-    )
+def _run_bench(*args):
+    return _run_bench_raw(*args)[-1]
+
+
+def test_bench_default_emits_full_scoreboard_bytetrack_last():
+    """No --tracker: one JSON line per tracker (all 9), flagship LAST so
+    a single-line (tail -1) parse lands on ByteTrack (VERDICT r1 #7)."""
+    rows = _run_bench_raw()
+    assert len(rows) == 9
+    metrics = [r["metric"] for r in rows]
+    assert metrics[-1] == "bytetrack_streams_at_30fps_per_chip"
+    assert len(set(metrics)) == 9
+    for out in rows:
+        assert out["unit"] == "streams_at_30fps_per_chip"
+        assert out["value"] > 0
+        # value is rounded to 0.1 and vs_baseline to 1e-3 from the
+        # UNROUNDED value, so allow both rounding granularities
+        assert out["vs_baseline"] == pytest.approx(
+            out["value"] / 256.0, abs=0.05 / 256.0 + 5e-4 + 1e-9
+        )
 
 
 def test_bench_emb_path():
