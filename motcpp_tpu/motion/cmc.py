@@ -93,6 +93,21 @@ class SOF:
         self._prev = None
         self._prev_pts = None
 
+    @staticmethod
+    def _detect(cv2, gray):
+        """goodFeaturesToTrack + sub-pixel refinement (the reference
+        refines every corner set: sof.cpp:47,105,165 — cornerSubPix with
+        a 5x5 window, 30-iteration / 0.01-eps criteria)."""
+        pts = cv2.goodFeaturesToTrack(
+            gray, maxCorners=1000, qualityLevel=0.01, minDistance=1
+        )
+        if pts is not None and len(pts) > 0:
+            criteria = (
+                cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 30, 0.01
+            )
+            pts = cv2.cornerSubPix(gray, pts, (5, 5), (-1, -1), criteria)
+        return pts
+
     def apply(self, img, dets=None) -> np.ndarray:
         try:
             import cv2
@@ -103,9 +118,7 @@ class SOF:
             gray = cv2.resize(gray, None, fx=self.scale, fy=self.scale)
         if self._prev is None:
             self._prev = gray
-            self._prev_pts = cv2.goodFeaturesToTrack(
-                gray, maxCorners=1000, qualityLevel=0.01, minDistance=1
-            )
+            self._prev_pts = self._detect(cv2, gray)
             return IDENTITY.copy()
         warp = IDENTITY.copy()
         pts = self._prev_pts
@@ -123,9 +136,7 @@ class SOF:
                     warp = m.astype(np.float32)
                     warp[:, 2] /= self.scale
         self._prev = gray
-        self._prev_pts = cv2.goodFeaturesToTrack(
-            gray, maxCorners=1000, qualityLevel=0.01, minDistance=1
-        )
+        self._prev_pts = self._detect(cv2, gray)
         return warp
 
     def reset(self):
