@@ -10,6 +10,18 @@ the hot loop because streams are independent; ICI traffic only appears
 in result gathering.
 """
 
+from motcpp_tpu.parallel.collectives import (
+    emission_stats,
+    per_stream_emissions,
+    shard_over_streams,
+)
 from motcpp_tpu.parallel.streams import MultiStreamRunner, make_rollout, make_rollout_embs
 
-__all__ = ["MultiStreamRunner", "make_rollout", "make_rollout_embs"]
+__all__ = [
+    "MultiStreamRunner",
+    "make_rollout",
+    "make_rollout_embs",
+    "emission_stats",
+    "per_stream_emissions",
+    "shard_over_streams",
+]
