@@ -129,3 +129,38 @@ def test_obb_seven_col_quirk_parity():
     low = np.array([[150, 150, 80, 160, 0.2, 0.99, 0]], np.float32)
     out2 = tr2.update(low, IMG)
     assert out2.shape[0] == 0  # angle-as-conf below threshold: filtered
+
+
+def test_plot_results_extras_and_grid(tmp_path):
+    """Header banner, confidence labels, fading trajectories, grid."""
+    import numpy as np
+
+    from motcpp_tpu.utils.visualization import make_grid, plot_results
+
+    tracks = np.array([[10, 30, 60, 120, 3, 0.87, 0, 0]], np.float32)
+    history = {}
+    frames = {}
+    for name in ("a", "b"):
+        f = plot_results(
+            IMG, tracks, show_trajectories=True, history=history,
+            show_conf=True, header=f"{name} frame 1",
+        )
+        assert f.shape == IMG.shape and f.dtype == np.uint8
+        frames[name] = f
+    assert 3 in history and len(history[3]) == 2
+    grid = make_grid(frames, cols=2)
+    h, w = IMG.shape[:2]
+    assert grid.shape[0] >= h and grid.shape[1] >= 2 * w
+
+
+def test_trajectory_history_capped():
+    import numpy as np
+
+    from motcpp_tpu.utils.visualization import plot_results
+
+    history = {}
+    for t in range(60):
+        tracks = np.array([[t, 30, t + 50, 120, 1, 0.9, 0, 0]], np.float32)
+        plot_results(IMG, tracks, show_trajectories=True, history=history,
+                     trajectory_len=40)
+    assert len(history[1]) == 40
