@@ -48,7 +48,12 @@ def main():
     ap.add_argument("--streams", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--stages", nargs="*", default=["auction", "pallas", "iou", "kf"])
+    # NOTE: the jnp-broadcast "auction" stage is NOT in the defaults: on
+    # worst-case random costs at S=4096 its 30-iteration scan has twice
+    # crashed the TPU worker (UNAVAILABLE, multi-minute reconnect), and
+    # random-cost microbenches overstate in-vivo auction cost ~15x
+    # anyway. Request it explicitly (at smaller --streams) if needed.
+    ap.add_argument("--stages", nargs="*", default=["pallas", "iou", "kf"])
     args = ap.parse_args()
     if args.cpu:
         import jax
