@@ -43,6 +43,36 @@ class TrackerConfig:
     def as_kwargs(self) -> dict:
         return dict(self.params)
 
+    def sample(self, rng) -> dict:
+        """Draw one parameter set from the search space (the tune-style
+        nodes the YAML schema defines; reference: src/config.cpp:24-49
+        parses them but upstream ships no tuner). Non-search params pass
+        through unchanged.
+
+        Node semantics:
+          * ``uniform``: float in [lo, hi]
+          * ``randint``: int from lo..hi (exclusive) with optional step
+            (``range: [10, 61, 10]`` -> 10, 20, ..., 60)
+          * ``choice``: one of the listed values
+        """
+        out = dict(self.params)
+        for key, node in self.search_space.items():
+            kind = node.get("type")
+            rng_spec = node.get("range")
+            if kind == "uniform":
+                lo, hi = float(rng_spec[0]), float(rng_spec[1])
+                out[key] = float(rng.uniform(lo, hi))
+            elif kind == "randint":
+                lo, hi = int(rng_spec[0]), int(rng_spec[1])
+                step = int(rng_spec[2]) if len(rng_spec) > 2 else 1
+                choices = list(range(lo, hi, step))
+                out[key] = int(choices[rng.integers(len(choices))])
+            elif kind == "choice":
+                out[key] = rng_spec[int(rng.integers(len(rng_spec)))]
+            else:
+                raise ValueError(f"unknown search node type {kind!r} for {key}")
+        return out
+
 
 def get_tracker_config_path(name: str) -> Path:
     """name -> configs/trackers/<name>.yaml (src/config.cpp:76-80)."""

@@ -153,3 +153,54 @@ def test_every_shipped_yaml_constructs_its_tracker():
         tr = motcpp_tpu.create_tracker(name, max_tracks=16, max_dets=8, **kw)
         out = tr.update(d, img)
         assert out.shape[1] == 8, name
+
+
+def test_search_space_sampling_semantics():
+    """TrackerConfig.sample: uniform in range, randint honors step,
+    choice from list, deterministic under a seeded rng, non-search
+    params pass through."""
+    from motcpp_tpu.config import TrackerConfig
+
+    cfg = TrackerConfig(
+        params={"a": 0.5, "b": 30, "c": "x", "fixed": 7},
+        search_space={
+            "a": {"type": "uniform", "range": [0.1, 0.3]},
+            "b": {"type": "randint", "range": [10, 61, 10]},
+            "c": {"type": "choice", "range": ["x", "y", "z"]},
+        },
+    )
+    rng = np.random.default_rng(0)
+    seen_b = set()
+    for _ in range(50):
+        s = cfg.sample(rng)
+        assert 0.1 <= s["a"] <= 0.3
+        assert s["b"] in {10, 20, 30, 40, 50, 60}
+        assert s["c"] in ("x", "y", "z")
+        assert s["fixed"] == 7
+        seen_b.add(s["b"])
+    assert len(seen_b) > 2  # actually explores
+    # deterministic under the same seed
+    s1 = cfg.sample(np.random.default_rng(42))
+    s2 = cfg.sample(np.random.default_rng(42))
+    assert s1 == s2
+    # unknown node type raises
+    bad = TrackerConfig(params={}, search_space={"k": {"type": "loguniform",
+                                                       "range": [1, 2]}})
+    with pytest.raises(ValueError):
+        bad.sample(rng)
+
+
+def test_yaml_search_spaces_sampleable():
+    """Every shipped YAML's search space must sample into kwargs its
+    tracker accepts (ties the schema to the tuner end to end)."""
+    import motcpp_tpu
+    from motcpp_tpu.config import CONFIG_DIR, load_tracker_config
+
+    rng = np.random.default_rng(1)
+    for yaml_path in sorted(CONFIG_DIR.glob("*.yaml")):
+        cfg = load_tracker_config(yaml_path)
+        params = cfg.sample(rng)
+        tracker = motcpp_tpu.create_tracker(
+            yaml_path.stem, max_dets=8, max_tracks=8, **params
+        )
+        assert tracker is not None
