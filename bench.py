@@ -253,10 +253,23 @@ def main():
     )
     args = ap.parse_args()
 
-    if args.cpu:
-        import jax
+    import os
 
+    import jax
+
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the all-9 default re-runs the same
+    # (S, T, K, N) shapes every invocation — cached compiles turn a
+    # cold ~10-minute scoreboard into ~3 minutes
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/motcpp_jax_cache"),
+        )
+    except Exception:
+        pass  # older jax without the persistent cache
 
     trackers = [args.tracker] if args.tracker else ALL_TRACKERS
     for trk in trackers:
