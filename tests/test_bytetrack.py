@@ -164,3 +164,47 @@ def test_det_ind_column_points_to_original_row():
     out = tr.update(dets, IMG)
     assert out.shape[0] == 1
     assert int(out[0, 7]) == 1
+
+
+def test_stage2_skip_keeps_unmatched_tracked_emitted():
+    """Reference quirk: the stage-2 mark_lost loop lives INSIDE the
+    non-empty guard (bytetrack.cpp:387-443), so on a frame with NO
+    low-conf detections an unmatched Tracked track is neither updated
+    nor marked Lost — it is emitted with its last state and stale
+    det_ind. (Found by fuzzing; pinned so a 'cleanup' doesn't silently
+    diverge from the reference.)"""
+    import numpy as np
+
+    import motcpp_tpu
+
+    img = np.zeros((480, 640, 3), np.uint8)
+    tr = motcpp_tpu.create_tracker("bytetrack", max_dets=8, max_tracks=16)
+    # frame 1: two well-separated high-conf dets -> two tracks
+    two = np.array(
+        [[50, 50, 120, 220, 0.95, 0], [400, 50, 470, 220, 0.95, 0]],
+        np.float32,
+    )
+    tr.update(two, img)
+    out1 = tr.update(two, img)
+    assert out1.shape[0] == 2
+    # frame 3: only det 0 present, NO low-conf dets -> stage 2 skipped;
+    # track 2 must still be emitted (not Lost), with stale det_ind=1
+    one = np.array([[50, 50, 120, 220, 0.95, 0]], np.float32)
+    out2 = tr.update(one, img)
+    assert out2.shape[0] == 2, out2
+    ids1 = set(int(r[4]) for r in out1)
+    ids2 = set(int(r[4]) for r in out2)
+    assert ids1 == ids2
+    stale = [r for r in out2 if int(r[7]) == 1]
+    assert len(stale) == 1  # the unmatched track carries det_ind=1
+    # whereas WITH a low-conf det present (stage 2 runs and misses),
+    # the unmatched track goes Lost and is not emitted
+    tr2 = motcpp_tpu.create_tracker("bytetrack", max_dets=8, max_tracks=16)
+    tr2.update(two, img)
+    tr2.update(two, img)
+    one_plus_low = np.array(
+        [[50, 50, 120, 220, 0.95, 0], [600, 400, 620, 460, 0.2, 0]],
+        np.float32,
+    )
+    out3 = tr2.update(one_plus_low, img)
+    assert out3.shape[0] == 1, out3
