@@ -283,24 +283,9 @@ def _flat_paths(tree, prefix=()):
     return out
 
 
-def load_torch_weights(model: OSNet, variables, path: str) -> dict:
-    """Load a torchreid OSNet checkpoint (.pt/.pth) into full Flax
-    variables (params + batch_stats), verifying the converted tree is
-    exactly congruent with ``variables`` (every leaf present, every
-    shape equal) — raises ValueError otherwise.
-
-    Equivalent role to the reference's ONNX export + ORT session load
-    (reference: scripts/export_reid_onnx.py, onnx_backend.cpp:13-108).
-    """
-    import torch
-
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    # torchreid checkpoints sometimes carry a DataParallel "module." prefix
-    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
-    converted = convert_torch_state_dict(sd)
-
+def _verify_congruent(variables, converted) -> None:
+    """Raise ValueError listing every leaf the converted tree is
+    missing, has extra, or mismatches in shape vs ``variables``."""
     import flax
 
     ref = flax.core.unfreeze(variables)
@@ -325,7 +310,73 @@ def load_torch_weights(model: OSNet, variables, path: str) -> dict:
             + "\n  ".join(errors[:20])
             + (f"\n  ... and {len(errors) - 20} more" if len(errors) > 20 else "")
         )
+
+
+def infer_osnet(variables) -> OSNet:
+    """Reconstruct the OSNet variant (channel widths, feature dim) from
+    a converted variables tree — so ReIDBackend can load any
+    osnet_x* checkpoint without being told which one it is."""
+    try:
+        p = variables["params"]
+        channels = (
+            p["conv1"]["conv"]["kernel"].shape[-1],
+            p["conv2_2_0"]["conv"]["kernel"].shape[-1],
+            p["conv3_2_0"]["conv"]["kernel"].shape[-1],
+            p["conv5"]["conv"]["kernel"].shape[-1],
+        )
+        feature_dim = p["fc_0"]["kernel"].shape[-1]
+    except KeyError as e:
+        raise ValueError(
+            f"variables tree is not an OSNet layout (missing {e})"
+        ) from e
+    return OSNet(channels=channels, feature_dim=feature_dim)
+
+
+def load_torch_weights(model: OSNet, variables, path: str) -> dict:
+    """Load a torchreid OSNet checkpoint (.pt/.pth) into full Flax
+    variables (params + batch_stats), verifying the converted tree is
+    exactly congruent with ``variables`` (every leaf present, every
+    shape equal) — raises ValueError otherwise.
+
+    Equivalent role to the reference's ONNX export + ORT session load
+    (reference: scripts/export_reid_onnx.py, onnx_backend.cpp:13-108).
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    # torchreid checkpoints sometimes carry a DataParallel "module." prefix
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    converted = convert_torch_state_dict(sd)
+    _verify_congruent(variables, converted)
     return converted
+
+
+def load_weights_auto(path: str):
+    """Load .pt/.pth/.npz OSNet weights, inferring the architecture
+    variant from the tensors; returns (model, variables), shape-verified
+    against a fresh init of the inferred model."""
+    p = str(path)
+    if p.endswith((".pt", ".pth")):
+        import torch
+
+        sd = torch.load(p, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+        converted = convert_torch_state_dict(sd)
+    elif p.endswith(".npz"):
+        converted = load_npz_variables(p)
+    else:
+        raise ValueError(
+            f"unrecognized ReID weights format: {path!r} (expected "
+            ".pt/.pth torchreid checkpoint or .npz from "
+            "scripts/convert_reid_weights.py)"
+        )
+    model = infer_osnet(converted)
+    _verify_congruent(init_params(model), converted)
+    return model, converted
 
 
 # ------------------------------------------------------------- npz io

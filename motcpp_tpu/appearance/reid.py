@@ -128,8 +128,7 @@ class ReIDBackend:
     def __init__(self, weights: str = "", model_name: str = "", seed: int = 0):
         from motcpp_tpu.appearance.osnet import (
             init_params,
-            load_npz_variables,
-            load_torch_weights,
+            load_weights_auto,
             osnet_x1_0,
         )
 
@@ -138,24 +137,15 @@ class ReIDBackend:
         self.model_name = model_name
         self.input_shape = determine_input_shape(model_name)
         self.norm = determine_normalization(model_name)
-        self.model = osnet_x1_0()
-        self.variables = init_params(self.model, self.input_shape, seed)
         if weights:
-            w = str(weights)
-            if w.endswith((".pt", ".pth")):
-                # full variables: params + batch_stats, name-mapped and
-                # shape-verified against this model (raises on mismatch)
-                self.variables = load_torch_weights(
-                    self.model, self.variables, weights
-                )
-            elif w.endswith(".npz"):
-                self.variables = load_npz_variables(weights)
-            else:
-                raise ValueError(
-                    f"unrecognized ReID weights format: {weights!r} "
-                    "(expected .pt/.pth torchreid checkpoint or .npz from "
-                    "scripts/convert_reid_weights.py)"
-                )
+            # full variables (params + batch_stats), name-mapped; the
+            # architecture variant (x1_0/x0_25/...) is inferred from the
+            # tensors and shape-verified (raises listing any mismatch;
+            # unknown file suffixes also raise)
+            self.model, self.variables = load_weights_auto(weights)
+        else:
+            self.model = osnet_x1_0()
+            self.variables = init_params(self.model, self.input_shape, seed)
 
         @jax.jit
         def _forward(variables, crops):

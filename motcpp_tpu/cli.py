@@ -3,7 +3,7 @@
 Usage (mirrors reference: tools/motcpp_eval.cpp:19-38):
 
     python -m motcpp_tpu.cli <mot_root> <output_dir> [tracker]
-                             [det_emb_root] [model] [reid]
+                             [det_emb_root] [model] [reid] [reid_weights]
 
 Per sequence: load detections (+optional pre-generated embeddings), run
 the tracker frame by frame, append MOT-Challenge rows. Replicates the
@@ -24,10 +24,18 @@ from pathlib import Path
 import numpy as np
 
 
-def build_tracker(name: str, fps: int = 30, **overrides):
+REID_TRACKERS = ("deepocsort", "strongsort", "botsort", "boosttrack",
+                 "hybridsort")
+
+
+def build_tracker(name: str, fps: int = 30, reid_weights: str = "",
+                  **overrides):
     """Construct a tracker with the eval tool's hardcoded defaults
     (reference: tools/motcpp_eval.cpp:96-316). Capacity knobs and the
-    assignment kernel can be overridden."""
+    assignment kernel can be overridden; reid_weights (the reference's
+    7th CLI argument, motcpp_eval.cpp:38,168-282) enables live on-device
+    ReID for the appearance trackers when no pre-generated embeddings
+    are supplied."""
     import motcpp_tpu
 
     name = name.lower()
@@ -37,6 +45,10 @@ def build_tracker(name: str, fps: int = 30, **overrides):
     elif name in ("ucmc", "ucmctrack"):
         # dt = 1 / sequence fps (reference: motcpp_eval.cpp:129)
         defaults = dict(dt=1.0 / fps)
+    if reid_weights and name in REID_TRACKERS:
+        defaults["reid_weights"] = reid_weights
+        if name in ("botsort", "hybridsort"):
+            defaults["with_reid"] = True
     defaults.update(overrides)
     return motcpp_tpu.create_tracker(name, **defaults)
 
@@ -117,6 +129,13 @@ def main(argv=None):
     ap.add_argument("det_emb_root", nargs="?", default="")
     ap.add_argument("model", nargs="?", default="")
     ap.add_argument("reid", nargs="?", default="")
+    ap.add_argument(
+        "reid_weights", nargs="?", default="",
+        help="ReID checkpoint (.pt/.pth/.npz) for live on-device "
+        "embeddings — the reference eval's 7th argument "
+        "(tools/motcpp_eval.cpp:38); pre-generated embedding files "
+        "still take precedence when present",
+    )
     ap.add_argument("--max-dets", type=int, default=128)
     ap.add_argument("--max-tracks", type=int, default=256)
     ap.add_argument("--lap", default="jv",
@@ -158,6 +177,7 @@ def main(argv=None):
         tracker = build_tracker(
             args.tracker,
             fps=seq.fps,
+            reid_weights=args.reid_weights,
             max_dets=args.max_dets,
             max_tracks=args.max_tracks,
             lap_impl=args.lap,

@@ -197,3 +197,42 @@ class TestTorchParity:
         p.write_bytes(b"\x00")
         with pytest.raises(ValueError, match="unrecognized"):
             ReIDBackend(weights=str(p))
+
+
+def test_cli_live_reid_weights_path(tmp_path):
+    """The eval CLI's 7th positional (reid_weights, matching the
+    reference's tools/motcpp_eval.cpp:38) must run live on-device ReID
+    when no pre-generated embeddings exist: convert a torchreid-layout
+    checkpoint, run botsort over real frames, get tracks."""
+    torch = pytest.importorskip("torch")
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "scripts"))
+    import torch_osnet
+    from convert_reid_weights import main as convert_main
+
+    from motcpp_tpu.cli import main as cli_main
+
+    ckpt = tmp_path / "osnet_x0_25_test.pt"
+    npz = tmp_path / "osnet_x0_25_test.npz"
+    model = torch_osnet.osnet_x0_25()
+    torch_osnet.randomize_(model, seed=1)
+    torch.save(model.state_dict(), ckpt)
+    assert convert_main([str(ckpt), str(npz), "x0_25"]) == 0
+
+    mot = root / "assets" / "MOT17-mini" / "train"
+    if not mot.exists():
+        pytest.skip("assets unavailable")
+    out = tmp_path / "out"
+    rc = cli_main(
+        [str(mot), str(out), "botsort", "", "", "", str(npz),
+         "--no-ablation", "--limit-frames", "2", "--images", "--cpu",
+         "--max-dets", "64", "--max-tracks", "64"]
+    )
+    assert rc == 0
+    files = sorted(out.glob("*.txt"))
+    assert files, "live-ReID run emitted no tracks"
+    first = files[0].read_text().strip().splitlines()
+    assert len(first) > 5  # crowded MOT17 frames
