@@ -1,0 +1,272 @@
+"""TrackingService: a continuous multi-stream serving loop.
+
+Glue between the ingest runtime (:mod:`motcpp_tpu.serving.mux`, native
+C++ frame queues) and the jitted tracker core: producers attach stream
+slots and submit frames from any thread; each :meth:`TrackingService.step`
+assembles one fixed-shape batch, runs ONE vmapped tracker step on
+device, and returns the per-stream emissions.
+
+Exact per-stream semantics under irregular arrival (the TPU-native
+design point):
+
+* the batched step always executes all S slots (SPMD — no ragged
+  control flow), but slots with no queued frame this tick are masked
+  back to their previous state, so an absent stream's tracks do not
+  age, its frame counter does not advance, and its next frame continues
+  bit-exactly where it left off (test: tests/test_serving.py);
+* a freshly attached slot is re-initialized by the same masked select,
+  so recycled slots start from a clean state (fresh IDs) without
+  recompilation or host-side state surgery.
+
+The reference has no serving layer; its concurrency story is one
+tracker instance per thread (reference: docs/guides/architecture.md:
+246-258). This module is that story's batched equivalent: the threads
+only move frames; one chip steps every stream at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from motcpp_tpu.serving.mux import create_mux
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamHandle:
+    """Capability to submit frames for one attached stream."""
+
+    slot: int
+    generation: int
+
+
+@dataclasses.dataclass(frozen=True)
+class ServedBatch:
+    """Result of one service tick.
+
+    present: (S,) bool — streams that consumed a frame this tick.
+    outs: (S, K, 8) float32 — [x1, y1, x2, y2, id, conf, cls, det_ind].
+    out_masks: (S, K) bool — valid emission rows (false wherever
+        present is false).
+    """
+
+    present: np.ndarray
+    outs: np.ndarray
+    out_masks: np.ndarray
+
+    def tracks_for(self, handle: StreamHandle) -> np.ndarray:
+        """(M, 8) emissions for one stream this tick (empty if absent)."""
+        m = self.out_masks[handle.slot]
+        return self.outs[handle.slot][m]
+
+
+def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
+                      with_embs: bool):
+    """Build the present/reset-gated batched step.
+
+    Returns ``svc(states, dets, masks, present, reset[, embs]) ->
+    (states, (outs, out_masks))`` where all inputs carry a leading S
+    axis. ``reset`` slots are re-initialized BEFORE the step (fresh
+    attach); ``~present`` slots keep their previous state AFTER it
+    (absent stream — the step still executes, its writes are discarded).
+    """
+
+    vstep = jax.vmap(step_fn)
+
+    def _sel(mask, a, b):
+        m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
+        return jnp.where(m, a, b)
+
+    def svc(states, dets, masks, present, reset, embs=None):
+        S = dets.shape[0]
+        fresh = jax.vmap(lambda _: init_fn())(jnp.arange(S))
+        states = jax.tree_util.tree_map(
+            lambda f, s: _sel(reset, f, s), fresh, states
+        )
+        masks = masks & present[:, None]
+        if with_embs:
+            new_states, (outs, out_masks) = vstep(states, dets, masks, embs)
+        else:
+            new_states, (outs, out_masks) = vstep(states, dets, masks)
+        merged = jax.tree_util.tree_map(
+            lambda n, o: _sel(present, n, o), new_states, states
+        )
+        out_masks = out_masks & present[:, None]
+        return merged, (outs, out_masks)
+
+    return svc
+
+
+class TrackingService:
+    """Continuous tracking over dynamically attached streams.
+
+    Example:
+        svc = TrackingService.from_tracker("bytetrack", n_streams=64)
+        cam = svc.attach()
+        svc.submit(cam, dets)            # any thread
+        batch = svc.step()               # driver loop
+        rows = batch.tracks_for(cam)
+
+    Args:
+        init_fn / step_fn: a tracker core (``make_<tracker>(cfg)``).
+        n_streams: S slots; with multiple devices, sharded over a 1-D
+            ``Mesh(("streams",))`` (must divide the device count).
+        max_dets: N detection slots per frame.
+        emb_dim: per-detection embedding width (0 = motion-only).
+        queue_depth: per-slot frame queue; overflow drops the oldest.
+    """
+
+    def __init__(self, init_fn: Callable[[], Any], step_fn: Callable,
+                 n_streams: int, max_dets: int = 32, emb_dim: int = 0,
+                 queue_depth: int = 4, devices: list | None = None,
+                 prefer_native_mux: bool = True):
+        self.n_streams = int(n_streams)
+        self.max_dets = int(max_dets)
+        self.emb_dim = int(emb_dim)
+        self.devices = devices if devices is not None else jax.devices()
+        n_dev = len(self.devices)
+        if self.n_streams % n_dev != 0:
+            raise ValueError(
+                f"n_streams={n_streams} must divide evenly over "
+                f"{n_dev} devices"
+            )
+        self.mux = create_mux(
+            self.n_streams, self.max_dets, self.emb_dim, queue_depth,
+            prefer_native=prefer_native_mux,
+        )
+        self._init_fn = init_fn
+        svc = make_service_step(init_fn, step_fn, with_embs=emb_dim > 0)
+
+        if n_dev > 1:
+            from jax import shard_map
+
+            self.mesh = Mesh(np.asarray(self.devices), ("streams",))
+            sp = P("streams")
+            n_in = 5 if emb_dim > 0 else 4
+            svc = shard_map(
+                svc,
+                mesh=self.mesh,
+                in_specs=(sp,) * (n_in + 1),
+                out_specs=(sp, (sp, sp)),
+                # slot-local while_loops (LAP) start from replicated
+                # constants that become stream-varying; slots never
+                # communicate, so skip the varying-manual-axes check
+                check_vma=False,
+            )
+        else:
+            self.mesh = None
+        self._svc = jax.jit(svc, donate_argnums=(0,))
+        self._states = None
+        self._lock = threading.Lock()
+        self._reset = np.zeros((self.n_streams,), bool)
+        self._gen = np.zeros((self.n_streams,), np.int64)
+        self._ticks = 0
+
+    @classmethod
+    def from_tracker(cls, name: str, n_streams: int, max_dets: int = 32,
+                     emb_dim: int = 0, tracker_kw: dict | None = None,
+                     **service_kw):
+        """Build a service from a tracker name ("bytetrack", "sort", ...).
+
+        tracker_kw goes to the tracker's config dataclass (thresholds,
+        max_tracks, lap_impl, ...); capacities are filled from the
+        service arguments.
+        """
+        import importlib
+
+        mod = importlib.import_module(f"motcpp_tpu.models.{name}")
+        make = getattr(mod, f"make_{name}")
+        cfg_cls = next(
+            v for k, v in vars(mod).items() if k.lower() == f"{name}config"
+            or k == {"ucmctrack": "UCMCConfig"}.get(name)
+        )
+        kw = dict(tracker_kw or {})
+        kw.setdefault("max_dets", max_dets)
+        if emb_dim > 0 and "emb_dim" in cfg_cls.__dataclass_fields__:
+            kw.setdefault("emb_dim", emb_dim)
+        cfg = cfg_cls(**kw)
+        init_fn, step_fn = make(cfg)
+        return cls(init_fn, step_fn, n_streams=n_streams, max_dets=max_dets,
+                   emb_dim=emb_dim, **service_kw)
+
+    # ------------------------------------------------------------------
+    def attach(self) -> StreamHandle:
+        """Claim a slot for a new stream; its state is re-initialized on
+        the next step (fresh IDs, empty track table)."""
+        slot, gen = self.mux.attach()
+        with self._lock:
+            self._reset[slot] = True
+            self._gen[slot] = gen
+        return StreamHandle(slot=slot, generation=gen)
+
+    def detach(self, handle: StreamHandle) -> None:
+        self._check(handle)
+        self.mux.detach(handle.slot)
+
+    def submit(self, handle: StreamHandle, dets, embs=None) -> int:
+        """Queue one frame (thread-safe); returns the queue length."""
+        self._check(handle)
+        return self.mux.submit(handle.slot, dets, embs)
+
+    def pending(self, handle: StreamHandle) -> int:
+        self._check(handle)
+        return self.mux.pending(handle.slot)
+
+    def _check(self, handle: StreamHandle) -> None:
+        if self._gen[handle.slot] != handle.generation:
+            raise ValueError(
+                f"stale handle: slot {handle.slot} was re-attached "
+                f"(generation {handle.generation} != "
+                f"{int(self._gen[handle.slot])})"
+            )
+
+    # ------------------------------------------------------------------
+    def step(self) -> ServedBatch:
+        """Assemble one batch and run one tracker step over all slots."""
+        dets, mask, embs, present = self.mux.assemble()
+        with self._lock:
+            reset = self._reset.copy()
+            self._reset[:] = False
+        if self._states is None:
+            self._states = self._init_states()
+        args = [
+            jnp.asarray(dets), jnp.asarray(mask),
+            jnp.asarray(present), jnp.asarray(reset),
+        ]
+        if self.emb_dim > 0:
+            args.append(jnp.asarray(embs))
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P("streams"))
+            args = [jax.device_put(a, sh) for a in args]
+        self._states, (outs, out_masks) = self._svc(self._states, *args)
+        self._ticks += 1
+        return ServedBatch(
+            present=np.asarray(present),
+            outs=np.asarray(outs),
+            out_masks=np.asarray(out_masks),
+        )
+
+    def _init_states(self):
+        states = jax.vmap(lambda _: self._init_fn())(
+            jnp.arange(self.n_streams)
+        )
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P("streams"))
+            states = jax.device_put(states, sh)
+        return states
+
+    @property
+    def states(self):
+        """Carry state pytree (checkpointable with utils.checkpoint)."""
+        return self._states
+
+    def stats(self) -> dict:
+        s = self.mux.stats()
+        s["ticks"] = self._ticks
+        return s

@@ -37,6 +37,13 @@ def test_functional_core():
     assert "scanned clip" in r.stdout, r.stdout
 
 
+def test_async_serving():
+    r = _run("async_serving.py", "--streams", "4", "--ticks", "6")
+    assert r.returncode == 0, r.stderr
+    assert "async serving ok" in r.stdout, r.stdout
+    assert "streams present" in r.stdout
+
+
 def test_unknown_tracker_message():
     r = _run("basic_tracking.py", "--tracker", "nope")
     assert r.returncode != 0

@@ -1,0 +1,353 @@
+"""Serving runtime: native mux semantics + exact per-stream service
+behavior under irregular arrival, slot recycling, threads, sharding."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from motcpp_tpu.serving import (
+    PyStreamMux,
+    TrackingService,
+    create_mux,
+    native_available,
+)
+
+
+def _frame(rng, n, emb_dim=0):
+    dets = np.zeros((n, 6), np.float32)
+    cx = rng.uniform(100, 800, n)
+    cy = rng.uniform(100, 500, n)
+    w = rng.uniform(40, 100, n)
+    h = rng.uniform(80, 200, n)
+    dets[:, 0] = cx - w / 2
+    dets[:, 1] = cy - h / 2
+    dets[:, 2] = cx + w / 2
+    dets[:, 3] = cy + h / 2
+    dets[:, 4] = rng.uniform(0.5, 1.0, n)
+    if emb_dim:
+        e = rng.normal(0, 1, (n, emb_dim)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=-1, keepdims=True) + 1e-9
+        return dets, e
+    return dets
+
+
+# ---------------------------------------------------------------------------
+# mux layer
+# ---------------------------------------------------------------------------
+
+
+def _mux_pair(S=4, N=8, D=0, depth=3):
+    muxes = [PyStreamMux(S, N, D, depth)]
+    if native_available():
+        from motcpp_tpu.serving import StreamMux
+
+        muxes.append(StreamMux(S, N, D, depth))
+    return muxes
+
+
+def test_native_mux_builds():
+    # the environment ships g++; the native runtime must actually build
+    assert native_available()
+
+
+def test_mux_native_matches_python():
+    rng0 = np.random.default_rng(7)
+    schedule = []  # shared random op schedule replayed on both muxes
+    for _ in range(200):
+        op = rng0.choice(["submit", "assemble", "attach", "detach"],
+                         p=[0.6, 0.2, 0.1, 0.1])
+        schedule.append((op, rng0.integers(0, 10), rng0.integers(0, 6)))
+
+    results = []
+    for mux in _mux_pair(S=4, N=8, D=0, depth=3):
+        rng = np.random.default_rng(123)
+        handles = {}
+        log = []
+        for op, r, n in schedule:
+            if op == "attach":
+                try:
+                    slot, gen = mux.attach()
+                    handles[slot] = gen
+                    log.append(("attach", slot, gen))
+                except RuntimeError:
+                    log.append(("attach", -1, -1))
+            elif op == "detach" and handles:
+                slot = sorted(handles)[int(r) % len(handles)]
+                mux.detach(slot)
+                del handles[slot]
+                log.append(("detach", slot))
+            elif op == "submit" and handles:
+                slot = sorted(handles)[int(r) % len(handles)]
+                q = mux.submit(slot, _frame(rng, int(n)))
+                log.append(("submit", slot, q))
+            elif op == "assemble":
+                dets, mask, _, present = mux.assemble()
+                log.append(
+                    ("assemble", dets.copy().tobytes(),
+                     mask.tobytes(), present.tobytes())
+                )
+        log.append(("stats", tuple(sorted(mux.stats().items()))))
+        results.append(log)
+
+    if len(results) == 2:
+        assert results[0] == results[1]
+
+
+@pytest.mark.parametrize("mux_idx", [0, 1])
+def test_mux_drop_oldest(mux_idx):
+    muxes = _mux_pair(S=1, N=4, D=0, depth=2)
+    if mux_idx >= len(muxes):
+        pytest.skip("native mux unavailable")
+    mux = muxes[mux_idx]
+    slot, _ = mux.attach()
+    f = [np.full((1, 6), i, np.float32) for i in range(3)]
+    assert mux.submit(slot, f[0]) == 1
+    assert mux.submit(slot, f[1]) == 2
+    assert mux.submit(slot, f[2]) == 2  # overflow: frame 0 evicted
+    assert mux.stats()["dropped"] == 1
+    dets, mask, _, present = mux.assemble()
+    assert present[0] and mask[0, 0] and not mask[0, 1]
+    assert dets[0, 0, 0] == 1.0  # oldest surviving frame
+    dets, _, _, _ = mux.assemble()
+    assert dets[0, 0, 0] == 2.0
+    _, _, _, present = mux.assemble()
+    assert not present[0]  # queue drained
+
+
+@pytest.mark.parametrize("mux_idx", [0, 1])
+def test_mux_truncates_and_embeds(mux_idx):
+    muxes = _mux_pair(S=2, N=3, D=4, depth=2)
+    if mux_idx >= len(muxes):
+        pytest.skip("native mux unavailable")
+    mux = muxes[mux_idx]
+    slot, _ = mux.attach()
+    rng = np.random.default_rng(0)
+    dets, embs = _frame(rng, 5, emb_dim=4)  # 5 rows > N=3
+    mux.submit(slot, dets, embs)
+    d, m, e, present = mux.assemble()
+    assert present[slot] and m[slot].sum() == 3
+    np.testing.assert_array_equal(d[slot, :3], dets[:3])
+    np.testing.assert_array_equal(e[slot, :3], embs[:3])
+    assert (e[slot, 3:] == 0).all()
+
+
+def test_mux_slot_reuse_bumps_generation():
+    for mux in _mux_pair(S=2, N=4):
+        s0, g0 = mux.attach()
+        mux.submit(s0, _frame(np.random.default_rng(0), 2))
+        mux.detach(s0)
+        with pytest.raises(ValueError):
+            mux.detach(s0)
+        s1, g1 = mux.attach()
+        s2, g2 = mux.attach()
+        assert {s1, s2} == {0, 1}
+        reused = s1 if s1 == s0 else s2
+        gen = g1 if s1 == s0 else g2
+        assert gen > g0
+        # queued frames of the dead stream were discarded
+        assert mux.pending(reused) == 0
+
+
+# ---------------------------------------------------------------------------
+# service layer
+# ---------------------------------------------------------------------------
+
+
+def _bytetrack_core(max_dets=8, max_tracks=16):
+    from motcpp_tpu.models.bytetrack import ByteTrackConfig, make_bytetrack
+
+    cfg = ByteTrackConfig(max_tracks=max_tracks, max_dets=max_dets)
+    return make_bytetrack(cfg)
+
+
+def _service(n_streams=4, max_dets=8, emb_dim=0, prefer_native=True,
+             devices=None, tracker="bytetrack", tracker_kw=None):
+    import jax
+
+    return TrackingService.from_tracker(
+        tracker, n_streams=n_streams, max_dets=max_dets, emb_dim=emb_dim,
+        tracker_kw=dict(max_tracks=16, **(tracker_kw or {})),
+        prefer_native_mux=prefer_native,
+        devices=devices if devices is not None else jax.devices()[:1],
+    )
+
+
+def _stream_frames(seed, T, n=4):
+    rng = np.random.default_rng(seed)
+    base = _frame(rng, n)
+    frames = []
+    for t in range(T):
+        f = base.copy()
+        f[:, [0, 2]] += 3.0 * t
+        f[:, [1, 3]] += 1.5 * t
+        frames.append(f)
+    return frames
+
+
+def test_service_absent_streams_frozen_bit_exact():
+    """A stream fed with idle gaps produces byte-identical emissions to
+    the same frames fed contiguously — absent ticks are true no-ops."""
+    frames = _stream_frames(1, 8)
+
+    def run(schedule):
+        svc = _service(n_streams=2)
+        h = svc.attach()
+        outs = []
+        it = iter(frames)
+        for has_frame in schedule:
+            if has_frame:
+                svc.submit(h, next(it))
+            batch = svc.step()
+            assert batch.present[h.slot] == bool(has_frame)
+            if has_frame:
+                outs.append(batch.tracks_for(h))
+        return outs
+
+    dense = run([1] * 8)
+    gappy = run([1, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1, 1])
+    assert len(dense) == len(gappy) == 8
+    for a, b in zip(dense, gappy):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_service_matches_raw_rollout():
+    """Fully-present service run == the batch rollout used by bench."""
+    import jax.numpy as jnp
+
+    from motcpp_tpu.parallel.streams import MultiStreamRunner
+
+    S, N, T = 3, 8, 6
+    streams = [_stream_frames(10 + s, T, n=3) for s in range(S)]
+    svc = _service(n_streams=S, max_dets=N)
+    handles = [svc.attach() for _ in range(S)]
+    svc_outs = []
+    for t in range(T):
+        for s, h in enumerate(handles):
+            svc.submit(h, streams[s][t])
+        svc_outs.append(svc.step())
+
+    import jax
+
+    init_fn, step_fn = _bytetrack_core(max_dets=N)
+    runner = MultiStreamRunner(
+        init_fn, step_fn, n_streams=S, devices=jax.devices()[:1]
+    )
+    dets = np.zeros((T, S, N, 6), np.float32)
+    masks = np.zeros((T, S, N), bool)
+    for s in range(S):
+        for t in range(T):
+            f = streams[s][t]
+            dets[t, s, : f.shape[0]] = f
+            masks[t, s, : f.shape[0]] = True
+    outs, out_masks = runner.run(jnp.asarray(dets), jnp.asarray(masks))
+    outs, out_masks = np.asarray(outs), np.asarray(out_masks)
+
+    for t in range(T):
+        np.testing.assert_array_equal(svc_outs[t].out_masks, out_masks[t])
+        np.testing.assert_allclose(
+            svc_outs[t].outs[out_masks[t]], outs[t][out_masks[t]],
+            rtol=0, atol=1e-4,
+        )
+
+
+def test_service_slot_recycling_resets_ids():
+    svc = _service(n_streams=1)
+    frames = _stream_frames(3, 4)
+    h1 = svc.attach()
+    first_ids = None
+    for f in frames:
+        svc.submit(h1, f)
+        b = svc.step()
+        rows = b.tracks_for(h1)
+        if first_ids is None and rows.size:
+            first_ids = sorted(rows[:, 4].tolist())
+    svc.detach(h1)
+    with pytest.raises(ValueError):
+        svc.submit(h1, frames[0])  # stale handle
+
+    h2 = svc.attach()
+    assert h2.generation > h1.generation
+    svc.submit(h2, frames[0])
+    rows = svc.step().tracks_for(h2)
+    # fresh state: the recycled slot starts over with the same first IDs
+    assert sorted(rows[:, 4].tolist()) == first_ids
+
+
+def test_service_embedding_path():
+    svc = _service(
+        n_streams=2, emb_dim=8, tracker="deepocsort",
+        tracker_kw=dict(min_hits=1, embedding_off=False, cmc_off=True),
+    )
+    h = svc.attach()
+    rng = np.random.default_rng(5)
+    emitted = 0
+    for _ in range(4):
+        dets, embs = _frame(rng, 3, emb_dim=8)
+        svc.submit(h, dets, embs)
+        emitted += svc.step().tracks_for(h).shape[0]
+    assert emitted > 0
+
+
+def test_service_threaded_producers():
+    S, T = 4, 12
+    svc = _service(n_streams=S)
+    handles = [svc.attach() for _ in range(S)]
+    streams = [_stream_frames(20 + s, T) for s in range(S)]
+    errs = []
+
+    def feed(s):
+        try:
+            for f in streams[s]:
+                svc.submit(handles[s], f)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=feed, args=(s,)) for s in range(S)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert svc.stats()["submitted"] == S * T
+
+    consumed = 0
+    for _ in range(T + 2):  # queue_depth=4 < T: drop-oldest applies
+        consumed += int(svc.step().present.sum())
+    stats = svc.stats()
+    assert consumed == S * T - stats["dropped"]
+    assert svc.step().present.sum() == 0  # drained
+
+
+def test_service_sharded_matches_single_device():
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    S = len(jax.devices())
+    frames = {s: _stream_frames(40 + s, 5) for s in range(S)}
+
+    def run(devices):
+        svc = _service(n_streams=S, devices=devices)
+        handles = [svc.attach() for _ in range(S)]
+        outs = []
+        for t in range(5):
+            for s, h in enumerate(handles):
+                if (t + s) % 3 != 0:  # irregular arrival
+                    svc.submit(h, frames[s][t])
+            b = svc.step()
+            outs.append((b.present.copy(), b.outs.copy(),
+                         b.out_masks.copy()))
+        return outs
+
+    single = run(jax.devices()[:1])
+    sharded = run(jax.devices())
+    for (p1, o1, m1), (p2, o2, m2) in zip(single, sharded):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_allclose(o1[m1], o2[m2], rtol=0, atol=1e-4)
+
+
+def test_create_mux_fallback():
+    mux = create_mux(2, 4, prefer_native=False)
+    assert isinstance(mux, PyStreamMux)
