@@ -31,9 +31,11 @@ def test_auction_matches_jv_objective(rng, shape, thresh):
         r2c_au, c2r_au = solve_lap_auction(jnp.asarray(cost), rm, cm, thresh)
         obj_jv = _objective(cost, np.asarray(r2c_jv), thresh)
         obj_au = _objective(cost, np.asarray(r2c_au), thresh)
-        # eps-optimality bound: n_matched * eps, eps = benefit_range/256
+        # eps-optimality bound: n_matched * eps, eps = range * EPS_FRAC
+        from motcpp_tpu.ops.auction import EPS_FRAC
+
         n_matched = int((np.asarray(r2c_au) >= 0).sum()) + 1
-        tol = n_matched * thresh / 256.0 + 1e-5
+        tol = n_matched * thresh * EPS_FRAC + 1e-5
         assert obj_au <= obj_jv + tol, (cost, r2c_jv, r2c_au)
         # auction never matches above the cost limit
         for i, j in enumerate(np.asarray(r2c_au)):
