@@ -130,15 +130,18 @@ def _kf_predict(x, P):
 
 
 def _kf_update(x, P, z):
+    """Simple P - K S Kᵀ update (boosttrack.cpp:84-100); the tiny
+    contractions are unrolled FMAs (ops/linalg.matmul_small) — batched
+    8x8 dot_general is the profiled bottleneck shape on TPU."""
+    from motcpp_tpu.ops.linalg import matmul_small, solve_spd
+
     S = P[..., :4, :4] + _R
     PHt = P[..., :, :4]
-    from motcpp_tpu.ops.linalg import solve_spd
-
     Kg = jnp.swapaxes(solve_spd(S, jnp.swapaxes(PHt, -1, -2)), -1, -2)
     innov = z - x[..., :4]
-    new_x = x + jnp.einsum("...ij,...j->...i", Kg, innov)
-    KS = jnp.einsum("...ij,...jk->...ik", Kg, S)
-    new_P = P - jnp.einsum("...ij,...kj->...ik", KS, Kg)
+    new_x = x + jnp.sum(Kg * innov[..., None, :], axis=-1)
+    KS = matmul_small(Kg, S)
+    new_P = P - matmul_small(KS, jnp.swapaxes(Kg, -1, -2))
     return new_x, new_P
 
 

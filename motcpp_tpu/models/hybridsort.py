@@ -152,28 +152,37 @@ def _x_to_bbox(x):
 
 
 def _kf_predict(x, P):
+    """F = I + U with U the velocity shift ((0..3) += (5..8)), so
+    F P Fᵀ = P + U P + P Uᵀ + U P Uᵀ is four slice adds — no 9x9
+    matmuls (profiled: batched tiny dot_general dominated the frame)."""
     new_x = (
         x.at[..., 0].add(x[..., 5])
         .at[..., 1].add(x[..., 6])
         .at[..., 2].add(x[..., 7])
         .at[..., 3].add(x[..., 8])
     )
-    FP = jnp.einsum("ij,kjl->kil", _F9, P)
-    new_P = jnp.einsum("kij,lj->kil", FP, _F9) + _Q9
+    new_P = (
+        P.at[..., :4, :].add(P[..., 5:9, :])   # U P
+        .at[..., :, :4].add(P[..., :, 5:9])    # P Uᵀ (of the original P)
+        .at[..., :4, :4].add(P[..., 5:9, 5:9])  # U P Uᵀ
+    ) + _Q9
     return new_x, new_P
 
 
 def _kf_update(x, P, z):
-    """Plain (I - KH) P update (hybridsort.cpp:73-90)."""
+    """Plain (I - KH) P update (hybridsort.cpp:73-90).
+
+    H = [I5 | 0], so (I - KH) P = P - K P[:5, :] — a rank-5 correction
+    unrolled into broadcast FMAs (ops/linalg.matmul_small) instead of
+    batched 9x9 matmuls."""
+    from motcpp_tpu.ops.linalg import matmul_small, solve_spd
+
     S = P[:, :5, :5] + _R5
     PHt = P[:, :, :5]
-    from motcpp_tpu.ops.linalg import solve_spd
-
     Kg = jnp.swapaxes(solve_spd(S, jnp.swapaxes(PHt, -1, -2)), -1, -2)
     innov = z - x[:, :5]
-    new_x = x + jnp.einsum("kij,kj->ki", Kg, innov)
-    KH = jnp.zeros_like(P).at[:, :, :5].set(Kg)
-    new_P = jnp.einsum("kij,kjl->kil", jnp.eye(9)[None] - KH, P)
+    new_x = x + jnp.sum(Kg * innov[:, None, :], axis=-1)
+    new_P = P - matmul_small(Kg, P[:, :5, :])
     return new_x, new_P
 
 

@@ -179,16 +179,23 @@ def make_ucmctrack(cfg: UCMCConfig):
         HPH = P[:, jnp.asarray([0, 2])][:, :, jnp.asarray([0, 2])]
         S = HPH + R
         Sinv, _ = _inv2(S)
+        from motcpp_tpu.ops.linalg import matmul_small
+
         PHt = P[:, :, jnp.asarray([0, 2])]  # (K, 4, 2)
-        Kg = jnp.einsum("kij,kjl->kil", PHt, Sinv)
+        Kg = matmul_small(PHt, Sinv)
         innov = y - _pos(x)
-        new_x = x + jnp.einsum("kij,kj->ki", Kg, innov)
+        new_x = x + jnp.sum(Kg * innov[:, None, :], axis=-1)
         I = jnp.eye(4)
         KH = jnp.zeros((x.shape[0], 4, 4))
         KH = KH.at[:, :, 0].set(Kg[:, :, 0]).at[:, :, 2].set(Kg[:, :, 1])
         IKH = I[None] - KH
-        new_P = jnp.einsum("kij,kjl,kml->kim", IKH, P, IKH)
-        new_P = new_P + jnp.einsum("kij,kjl,kml->kim", Kg, R, Kg)
+        # tiny contractions as unrolled FMAs (Joseph form kept verbatim)
+        new_P = matmul_small(
+            matmul_small(IKH, P), jnp.swapaxes(IKH, -1, -2)
+        )
+        new_P = new_P + matmul_small(
+            matmul_small(Kg, R), jnp.swapaxes(Kg, -1, -2)
+        )
         new_P = 0.5 * (new_P + jnp.swapaxes(new_P, -1, -2))
         return new_x, new_P
 
@@ -222,7 +229,10 @@ def make_ucmctrack(cfg: UCMCConfig):
         y, Rm = _map_dets(cfg, det_xyxy)
 
         occupied = state.ustate != FREE
-        # predict all; det_idx reset (ucmc.cpp:356-360)
+        # predict all; det_idx reset (ucmc.cpp:356-360). A/B-measured:
+        # strided slice-adds for F P F' lose to this einsum on the
+        # interleaved [x,vx,y,vy] layout (strided VMEM updates), so the
+        # 4x4 einsum stays.
         px = state.x @ F.T
         pP = jnp.einsum("ij,kjl,ml->kim", F, state.P, F) + Q
         x = jnp.where(occupied[:, None], px, state.x)

@@ -115,9 +115,13 @@ class GaussianKF:
         K = solve_spd(S, jnp.swapaxes(PHt, -1, -2))
         K = jnp.swapaxes(K, -1, -2)  # (..., 2d, d)
         innovation = measurement - proj_mean
-        new_mean = mean + jnp.einsum("...ij,...j->...i", K, innovation)
-        KS = jnp.einsum("...ij,...jk->...ik", K, S)
-        new_cov = cov - jnp.einsum("...ij,...kj->...ik", KS, K)
+        # tiny contractions as unrolled broadcast FMAs (matmul_small):
+        # batched (2d, d) dot_general is the profiled TPU bottleneck shape
+        from motcpp_tpu.ops.linalg import matmul_small
+
+        new_mean = mean + jnp.sum(K * innovation[..., None, :], axis=-1)
+        KS = matmul_small(K, S)
+        new_cov = cov - matmul_small(KS, jnp.swapaxes(K, -1, -2))
         return new_mean, new_cov
 
     # ------------------------------------------------------------- gating

@@ -75,8 +75,13 @@ def xysr_predict(x: jnp.ndarray, P: jnp.ndarray, params: XYSRParams | None = Non
     params = params or XYSRParams()
     new_x = x.at[..., 0].add(x[..., 4]).at[..., 1].add(x[..., 5]).at[..., 2].add(x[..., 6])
 
-    FP = jnp.einsum("ij,...jk->...ik", _F, P)
-    new_P = jnp.einsum("...ij,kj->...ik", FP, _F)
+    # F = I + U, U the velocity shift ((0..2) += (4..6)):
+    # F P F' = P + U P + P U' + U P U' — three slice adds, no 7x7 matmul
+    new_P = (
+        P.at[..., :3, :].add(P[..., 4:7, :])
+        .at[..., :, :3].add(P[..., :, 4:7])
+        .at[..., :3, :3].add(P[..., 4:7, 4:7])
+    )
     idx = jnp.arange(DIM_X)
     new_P = new_P.at[..., idx, idx].add(params.Q_diag())
     return new_x, new_P
@@ -102,15 +107,22 @@ def xysr_update(
 
     K = jnp.swapaxes(solve_spd(S, jnp.swapaxes(PHt, -1, -2)), -1, -2)
 
-    new_x = x + jnp.einsum("...ij,...j->...i", K, y)
+    from motcpp_tpu.ops.linalg import matmul_small
 
-    I = jnp.eye(DIM_X, dtype=P.dtype)
-    # I - K H: H selects the first 4 state dims
-    KH = jnp.zeros(P.shape, P.dtype).at[..., :, :DIM_Z].set(K)
-    I_KH = I - KH
-    new_P = jnp.einsum("...ij,...jk,...lk->...il", I_KH, P, I_KH)
-    new_P = new_P + jnp.einsum("...ij,j,...kj->...ik", K, R, K)
-    # enforce exact symmetry (f32 einsum orderings drift over long scans)
+    new_x = x + jnp.sum(K * y[..., None, :], axis=-1)
+
+    # H selects the first 4 state dims, so with M = K P[:4, :]:
+    # (I-KH) P (I-KH)' = P - M - M' + K P[:4, :4] K'   (P symmetric).
+    # All contractions are rank-4 -> unrolled broadcast FMAs
+    # (matmul_small); batched 7x7 dot_general is the profiled TPU
+    # bottleneck shape.
+    M = matmul_small(K, P[..., :DIM_Z, :])
+    KP44Kt = matmul_small(
+        matmul_small(K, P[..., :DIM_Z, :DIM_Z]), jnp.swapaxes(K, -1, -2)
+    )
+    KRKt = matmul_small(K * R, jnp.swapaxes(K, -1, -2))
+    new_P = P - M - jnp.swapaxes(M, -1, -2) + KP44Kt + KRKt
+    # enforce exact symmetry (f32 orderings drift over long scans)
     new_P = 0.5 * (new_P + jnp.swapaxes(new_P, -1, -2))
     return new_x, new_P
 
