@@ -33,6 +33,32 @@ def test_solve_spd(rng, n):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("shape", [(4, 7, 4, 9), (2, 9, 5, 5), (8, 3, 2, 3)])
+def test_matmul_small_matches_dense(rng, shape):
+    """The FMA-unrolled tiny matmul must equal dense @ (the KF hot path
+    relies on it for every covariance update)."""
+    import jax.numpy as jnp
+
+    from motcpp_tpu.ops.linalg import matmul_small
+
+    b, m, n, p = shape
+    A = rng.random((b, m, n)).astype(np.float32)
+    B = rng.random((b, n, p)).astype(np.float32)
+    got = np.asarray(matmul_small(jnp.asarray(A), jnp.asarray(B)))
+    np.testing.assert_allclose(got, A @ B, rtol=1e-5, atol=1e-5)
+
+
+def test_matmul_small_large_contraction_falls_back(rng):
+    import jax.numpy as jnp
+
+    from motcpp_tpu.ops.linalg import matmul_small
+
+    A = rng.random((2, 4, 16)).astype(np.float32)
+    B = rng.random((2, 16, 4)).astype(np.float32)
+    got = np.asarray(matmul_small(jnp.asarray(A), jnp.asarray(B)))
+    np.testing.assert_allclose(got, A @ B, rtol=1e-5, atol=1e-5)
+
+
 def test_inv2_det(rng):
     import jax.numpy as jnp
 
