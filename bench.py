@@ -167,27 +167,41 @@ def bench_one(tracker: str, args) -> dict:
     rng = np.random.default_rng(0)
     dets, masks = synth_stream_dets(rng, T, S, N, n_obj=args.objects)
 
+    import inspect
+
     with_embs = args.emb_dim > 0
+    with_warps = bool(getattr(args, "cmc", False)) and (
+        "warp" in inspect.signature(step_fn).parameters
+    )
     runner = MultiStreamRunner(
-        init_fn, step_fn, n_streams=S, with_embs=with_embs
+        init_fn, step_fn, n_streams=S, with_embs=with_embs,
+        with_warps=with_warps,
     )
     dets_j = jnp.asarray(dets)
     masks_j = jnp.asarray(masks)
-    embs_j = None
+    run_kw = {}
     if with_embs:
         e = rng.normal(0, 1, (T, S, N, args.emb_dim)).astype(np.float32)
         e /= np.linalg.norm(e, axis=-1, keepdims=True) + 1e-9
-        embs_j = jnp.asarray(e)
-    run_args = (dets_j, masks_j) if embs_j is None else (
-        dets_j, masks_j, embs_j
-    )
+        run_kw["embs"] = jnp.asarray(e)
+    if with_warps:
+        # small per-frame camera jitter: rotation + translation
+        ang = rng.normal(0, 0.002, (T, S)).astype(np.float32)
+        txy = rng.normal(0, 1.5, (T, S, 2)).astype(np.float32)
+        w = np.zeros((T, S, 2, 3), np.float32)
+        w[..., 0, 0] = np.cos(ang)
+        w[..., 0, 1] = -np.sin(ang)
+        w[..., 1, 0] = np.sin(ang)
+        w[..., 1, 1] = np.cos(ang)
+        w[..., :, 2] = txy
+        run_kw["warps"] = jnp.asarray(w)
 
     # compile + warm up. NOTE: materialize a scalar, not just
     # block_until_ready — under the axon remote platform an aborted
     # computation "completes" instantly and only raises when values are
     # fetched, which silently produces nonsense timings otherwise.
     t0 = time.time()
-    out = runner.run(*run_args)
+    out = runner.run(dets_j, masks_j, **run_kw)
     emissions = int(np.asarray(out[1]).sum())
     compile_s = time.time() - t0
     print(
@@ -201,7 +215,7 @@ def bench_one(tracker: str, args) -> dict:
     # steady state (reuse carry state — continuous streaming)
     t0 = time.time()
     for _ in range(args.repeats):
-        out = runner.run(*run_args)
+        out = runner.run(dets_j, masks_j, **run_kw)
         float(np.asarray(out[0][-1]).ravel()[0])  # force + validate
     dt = (time.time() - t0) / args.repeats
 
@@ -250,6 +264,12 @@ def main():
         "--emb-dim", type=int, default=0,
         help="feed random unit embeddings of this dim through the "
         "sharded rollout (ReID-path benchmark; emb-capable trackers only)",
+    )
+    ap.add_argument(
+        "--cmc", action="store_true",
+        help="feed per-frame camera-jitter warps (T, S, 2, 3) through "
+        "the rollout (CMC-application benchmark; warp-capable trackers "
+        "only — ignored for the rest)",
     )
     args = ap.parse_args()
 

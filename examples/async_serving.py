@@ -36,13 +36,19 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    import jax
+
     from motcpp_tpu.serving import TrackingService, native_available
 
     S = args.streams
+    # use as many devices as the stream count divides evenly over
+    n_dev = next(d for d in range(len(jax.devices()), 0, -1) if S % d == 0)
     svc = TrackingService.from_tracker(
         "bytetrack", n_streams=S, max_dets=16,
         tracker_kw=dict(max_tracks=32),
+        devices=jax.devices()[:n_dev],
     )
+    print(f"{S} streams over {n_dev} device(s)")
     print(f"mux backend: {'native C++' if native_available() else 'python'}")
 
     # --- camera threads: each feeds ~2/3 of the ticks (irregular) --------

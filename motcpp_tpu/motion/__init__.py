@@ -5,6 +5,6 @@ this package holds the image-space CMC estimators that produce the
 (2, 3) affine warps consumed by the tracker cores.
 """
 
-from motcpp_tpu.motion.cmc import ECC, SOF, SOFJax, create_cmc
+from motcpp_tpu.motion.cmc import ECC, SOF, SOFJax, create_cmc, sof_jax_batch
 
-__all__ = ["ECC", "SOF", "SOFJax", "create_cmc"]
+__all__ = ["ECC", "SOF", "SOFJax", "create_cmc", "sof_jax_batch"]

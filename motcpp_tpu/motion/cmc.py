@@ -297,6 +297,28 @@ def _sof_jax_core(prev, cur, n_corners=256, win=10, levels=3):
     return jnp2.where(enough, warp, ident), enough
 
 
+def sof_jax_batch(prev, cur, n_corners: int = 256, win: int = 10,
+                  levels: int = 3):
+    """Batched camera-motion estimation: (S, H, W) grayscale pairs ->
+    ((S, 2, 3) partial-affine warps, (S,) ok flags) in ONE device pass.
+
+    The reference's CMC is per-frame CPU cv2 (reference: src/motion/
+    cmc/sof.cpp); this vmaps the SOFJax core (Harris + pyramidal LK +
+    least-squares partial affine) over the stream axis, so serving
+    many moving-camera streams estimates every warp in a single
+    fixed-shape XLA program. Streams whose fit fails get the identity
+    warp and ok=False.
+    """
+    import jax
+
+    f = jax.vmap(
+        functools.partial(
+            _sof_jax_core, n_corners=n_corners, win=win, levels=levels
+        )
+    )
+    return f(prev, cur)
+
+
 class SOFJax:
     """TPU-native sparse-flow CMC (see module doc)."""
 

@@ -15,12 +15,18 @@ from motcpp_tpu.parallel.collectives import (
     per_stream_emissions,
     shard_over_streams,
 )
-from motcpp_tpu.parallel.streams import MultiStreamRunner, make_rollout, make_rollout_embs
+from motcpp_tpu.parallel.streams import (
+    MultiStreamRunner,
+    make_rollout,
+    make_rollout_embs,
+    make_rollout_general,
+)
 
 __all__ = [
     "MultiStreamRunner",
     "make_rollout",
     "make_rollout_embs",
+    "make_rollout_general",
     "emission_stats",
     "per_stream_emissions",
     "shard_over_streams",

@@ -65,6 +65,35 @@ def make_rollout_embs(step_fn: Callable):
     return rollout
 
 
+def make_rollout_general(step_fn: Callable, with_embs: bool = False,
+                         with_warps: bool = False):
+    """Rollout with optional embedding (T, S, N, D) and camera-warp
+    (T, S, 2, 3) legs. Warps reach the per-stream step as its ``warp``
+    argument, exercising each tracker's CMC application style (BoT-SORT
+    corner warp, XYSR affine blocks, camera_update) inside the scanned
+    SPMD program — the reference applies warps per frame on the host
+    (e.g. botsort.cpp:318-323)."""
+
+    vstep = jax.vmap(step_fn)
+
+    def rollout(states, dets, masks, *extra):
+        def body(st, inp):
+            d, m, *rest = inp
+            if with_embs and with_warps:
+                st, out = vstep(st, d, m, rest[0], rest[1])
+            elif with_embs:
+                st, out = vstep(st, d, m, rest[0])
+            elif with_warps:
+                st, out = vstep(st, d, m, None, rest[0])
+            else:
+                st, out = vstep(st, d, m)
+            return st, out
+
+        return lax.scan(body, states, (dets, masks) + tuple(extra))
+
+    return rollout
+
+
 class MultiStreamRunner:
     """Sharded multi-stream executor.
 
@@ -86,10 +115,12 @@ class MultiStreamRunner:
         n_streams: int,
         devices: list | None = None,
         with_embs: bool = False,
+        with_warps: bool = False,
     ):
         self.n_streams = int(n_streams)
         self.devices = devices if devices is not None else jax.devices()
         self.with_embs = bool(with_embs)
+        self.with_warps = bool(with_warps)
         n_dev = len(self.devices)
         if self.n_streams % n_dev != 0:
             raise ValueError(
@@ -98,9 +129,8 @@ class MultiStreamRunner:
             )
         self.mesh = Mesh(np.asarray(self.devices), ("streams",))
         self._init_fn = init_fn
-        rollout = (
-            make_rollout_embs(step_fn) if self.with_embs
-            else make_rollout(step_fn)
+        rollout = make_rollout_general(
+            step_fn, with_embs=self.with_embs, with_warps=self.with_warps
         )
 
         if n_dev > 1:
@@ -108,7 +138,7 @@ class MultiStreamRunner:
 
             spec_state = P("streams")
             spec_t = P(None, "streams")
-            n_in = 3 if self.with_embs else 2
+            n_in = 2 + int(self.with_embs) + int(self.with_warps)
             rollout = shard_map(
                 rollout,
                 mesh=self.mesh,
@@ -134,13 +164,18 @@ class MultiStreamRunner:
             states = jax.device_put(states, sharding)
         return states
 
-    def run(self, dets, masks, embs=None, states=None):
+    def run(self, dets, masks, embs=None, warps=None, states=None):
         """Track T frames across all streams; returns (outs, out_masks)
         and retains carry state for subsequent calls (streaming use).
-        embs (T, S, N, D) required iff constructed with_embs=True."""
+        embs (T, S, N, D) required iff constructed with_embs=True;
+        warps (T, S, 2, 3) required iff with_warps=True."""
         if (embs is not None) != self.with_embs:
             raise ValueError(
                 "pass embs iff the runner was built with with_embs=True"
+            )
+        if (warps is not None) != self.with_warps:
+            raise ValueError(
+                "pass warps iff the runner was built with with_warps=True"
             )
         if states is None:
             states = self._states if self._states is not None else self.init_states()
@@ -149,7 +184,11 @@ class MultiStreamRunner:
             # copy caller-supplied pytrees so e.g. a checkpoint-restored
             # state the caller retains for retry/branching stays valid
             states = jax.tree_util.tree_map(jnp.copy, states)
-        args = (dets, masks) if embs is None else (dets, masks, embs)
+        args = (dets, masks)
+        if embs is not None:
+            args = args + (embs,)
+        if warps is not None:
+            args = args + (warps,)
         if len(self.devices) > 1:
             sharding = NamedSharding(self.mesh, P(None, "streams"))
             args = tuple(

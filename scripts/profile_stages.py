@@ -92,6 +92,19 @@ def main():
         fn = jax.vmap(iou_batch)
         timed_scan(fn, (b1, b2), args.iters, f"iou_batch {S}x({K}x{N})")
 
+    if "sofjax" in args.stages:
+        from motcpp_tpu.motion.cmc import sof_jax_batch
+
+        B, H, W = 64, 270, 480  # 0.25x-downscaled 1080p, 64 streams
+        prev = jnp.asarray(
+            rng.random((B, H, W)).astype(np.float32) * 255.0
+        )
+        cur = jnp.roll(prev, (2, 3), axis=(1, 2))
+        fn = lambda p, c: sof_jax_batch(p, c)  # noqa: E731
+        ms = timed_scan(fn, (prev, cur), args.iters,
+                        f"sofjax CMC batch {B}x({H}x{W})")
+        print(f"{'':42s} -> {B / (ms / 1e3):,.0f} warps/s/chip")
+
     if "kf" in args.stages:
         from motcpp_tpu.ops.kalman.gaussian import kf_xyah
 

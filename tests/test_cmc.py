@@ -141,3 +141,49 @@ def test_sof_subpixel_refinement_active():
     assert pts is not None and len(pts) >= 20
     frac = np.abs(pts.reshape(-1, 2) - np.round(pts.reshape(-1, 2)))
     assert (frac > 1e-3).any(), "no corner moved sub-pixel"
+
+
+def test_sof_jax_batch_recovers_per_stream_shifts():
+    """Batched estimator: each stream's warp matches its own shift."""
+    import jax.numpy as jnp
+
+    from motcpp_tpu.motion.cmc import sof_jax_batch
+
+    # shifts stay within the LK window (the SOFJax *wrapper* handles
+    # larger motion by downscaling first; here we drive the raw core)
+    shifts = [(7, 4), (-6, 3), (0, 0), (4, -7)]
+    prevs, curs = [], []
+    for s, (dx, dy) in enumerate(shifts):
+        img = _textured(seed=10 + s)[:, :, 0].astype(np.float32)
+        prevs.append(img)
+        curs.append(_shift(img[..., None], dx, dy)[..., 0].astype(np.float32))
+    warps, ok = sof_jax_batch(
+        jnp.asarray(np.stack(prevs)), jnp.asarray(np.stack(curs))
+    )
+    warps = np.asarray(warps)
+    assert np.asarray(ok).all()
+    for s, (dx, dy) in enumerate(shifts):
+        assert abs(warps[s, 0, 2] - dx) < 3.0, (s, warps[s])
+        assert abs(warps[s, 1, 2] - dy) < 3.0, (s, warps[s])
+        np.testing.assert_allclose(warps[s, :, :2], np.eye(2), atol=0.05)
+
+
+def test_sof_jax_batch_matches_single():
+    """vmapped core == per-pair core."""
+    import jax.numpy as jnp
+
+    from motcpp_tpu.motion.cmc import _sof_jax_core, sof_jax_batch
+
+    prevs = np.stack(
+        [_textured(seed=20 + s)[:, :, 0].astype(np.float32) for s in range(3)]
+    )
+    curs = np.stack(
+        [_shift(_textured(seed=20 + s), 5, 3)[:, :, 0].astype(np.float32)
+         for s in range(3)]
+    )
+    wb, okb = sof_jax_batch(jnp.asarray(prevs), jnp.asarray(curs))
+    for s in range(3):
+        w1, ok1 = _sof_jax_core(jnp.asarray(prevs[s]), jnp.asarray(curs[s]))
+        np.testing.assert_allclose(np.asarray(wb)[s], np.asarray(w1),
+                                   rtol=0, atol=1e-4)
+        assert bool(np.asarray(okb)[s]) == bool(np.asarray(ok1))

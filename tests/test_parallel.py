@@ -212,3 +212,58 @@ def test_mesh_metrics_aggregation_matches_unsharded():
     per_stream = np.asarray(per_stream_emissions(out_masks_sharded, mesh))
     np.testing.assert_array_equal(per_stream, om.sum(axis=(0, 2)))
     assert per_stream[3] == 0
+
+
+def test_rollout_warp_leg_identity_noop():
+    """Identity warps through the warp leg == no-warp rollout, and a
+    translating warp changes the output (the CMC application path is
+    live inside the scanned program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motcpp_tpu.models.botsort import BotSortConfig, make_botsort
+    from motcpp_tpu.parallel import MultiStreamRunner
+
+    S, T, N = 2, 6, 8
+    cfg = BotSortConfig(max_tracks=16, max_dets=N, with_reid=False)
+    init_fn, step_fn = make_botsort(cfg)
+    rng = np.random.default_rng(0)
+    dets = np.zeros((T, S, N, 6), np.float32)
+    masks = np.zeros((T, S, N), bool)
+    for t in range(T):
+        for i in range(3):
+            x = 50 + 40 * i + 3 * t
+            dets[t, :, i] = [x, 60, x + 30, 140, 0.9, 0]
+            masks[t, :, i] = True
+
+    dev = jax.devices()[:1]
+    base = MultiStreamRunner(init_fn, step_fn, n_streams=S, devices=dev)
+    o0, m0 = base.run(jnp.asarray(dets), jnp.asarray(masks))
+
+    runner = MultiStreamRunner(
+        init_fn, step_fn, n_streams=S, devices=dev, with_warps=True
+    )
+    ident = np.tile(
+        np.asarray([[1, 0, 0], [0, 1, 0]], np.float32), (T, S, 1, 1)
+    )
+    o1, m1 = runner.run(
+        jnp.asarray(dets), jnp.asarray(masks), warps=jnp.asarray(ident)
+    )
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    np.testing.assert_allclose(
+        np.asarray(o0)[np.asarray(m0)], np.asarray(o1)[np.asarray(m1)],
+        rtol=0, atol=1e-5,
+    )
+
+    moving = ident.copy()
+    moving[..., 0, 2] = 25.0  # constant 25px x-shift per frame
+    runner2 = MultiStreamRunner(
+        init_fn, step_fn, n_streams=S, devices=dev, with_warps=True
+    )
+    o2, m2 = runner2.run(
+        jnp.asarray(dets), jnp.asarray(masks), warps=jnp.asarray(moving)
+    )
+    assert not np.allclose(
+        np.asarray(o1)[np.asarray(m1)][:, :4],
+        np.asarray(o2)[np.asarray(m2)][:, :4],
+    )
