@@ -123,9 +123,17 @@ class ReIDBackend:
             useful for shape/throughput work).
         model_name: drives input-shape and normalization heuristics; when
             empty, inferred from the weights filename.
+        compute_dtype: "float32" (default, torch-parity ≤1e-4) or
+            "bfloat16" — casts weights and activations so the conv/
+            matmul path rides the MXU at its native 16-bit rate.
+            Embeddings return as L2-normalized float32 either way;
+            bf16-vs-f32 cosine agreement is pinned ≥0.995 in
+            tests/test_appearance.py. Use bf16 for throughput-bound
+            serving, f32 when reproducing reference numbers.
     """
 
-    def __init__(self, weights: str = "", model_name: str = "", seed: int = 0):
+    def __init__(self, weights: str = "", model_name: str = "", seed: int = 0,
+                 compute_dtype: str = "float32"):
         from motcpp_tpu.appearance.osnet import (
             init_params,
             load_weights_auto,
@@ -147,10 +155,25 @@ class ReIDBackend:
             self.model = osnet_x1_0()
             self.variables = init_params(self.model, self.input_shape, seed)
 
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be float32 or bfloat16, "
+                f"got {compute_dtype!r}"
+            )
+        self.compute_dtype = compute_dtype
+        if compute_dtype == "bfloat16":
+            self.variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                self.variables,
+            )
+
+        cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
         @jax.jit
         def _forward(variables, crops):
-            feats = self.model.apply(variables, crops, train=False)
-            return normalize_features(feats)
+            feats = self.model.apply(variables, crops.astype(cdt), train=False)
+            return normalize_features(feats.astype(jnp.float32))
 
         self._forward = _forward
 

@@ -18,12 +18,27 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def timed_scan(fn, args, iters, label):
-    """Scan fn over `iters` dummy steps; report ms per step."""
+    """Scan fn over `iters` dummy steps; report ms per step.
+
+    The first float array argument is perturbed by the carry each step —
+    without that, XLA hoists the (loop-invariant) stage out of the scan
+    and the measurement collapses to loop overhead.
+    """
     import jax
     import jax.numpy as jnp
 
     def body(carry, _):
-        out = fn(*args)
+        perturbed = []
+        poisoned = False
+        for a in args:
+            if not poisoned and hasattr(a, "dtype") and jnp.issubdtype(
+                a.dtype, jnp.floating
+            ):
+                perturbed.append(a + carry * 1e-12)
+                poisoned = True
+            else:
+                perturbed.append(a)
+        out = fn(*perturbed)
         # fold output into carry so nothing is dead-code-eliminated
         leaf = jax.tree_util.tree_leaves(out)[0]
         return carry + jnp.sum(leaf.astype(jnp.float32)), None

@@ -236,3 +236,38 @@ def test_cli_live_reid_weights_path(tmp_path):
     assert files, "live-ReID run emitted no tracks"
     first = files[0].read_text().strip().splitlines()
     assert len(first) > 5  # crowded MOT17 frames
+
+
+def test_bfloat16_inference_agrees_with_f32():
+    """compute_dtype='bfloat16' must produce embeddings whose cosine
+    agreement with the f32 path is >= 0.995 (and stay L2-normalized
+    float32 at the boundary)."""
+    import numpy as np
+
+    from motcpp_tpu.appearance.reid import ReIDBackend
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+    boxes = np.asarray(
+        [[10, 10, 100, 250], [300, 40, 420, 380], [50, 200, 160, 460]],
+        np.float32,
+    )
+    f32 = ReIDBackend(seed=7)
+    b16 = ReIDBackend(seed=7, compute_dtype="bfloat16")
+    e32 = f32.get_features(boxes, img)
+    e16 = b16.get_features(boxes, img)
+    assert e16.dtype == np.float32
+    np.testing.assert_allclose(
+        np.linalg.norm(e16, axis=1), 1.0, atol=1e-3
+    )
+    cos = np.sum(e32 * e16, axis=1)
+    assert (cos >= 0.995).all(), cos
+
+
+def test_bad_compute_dtype_raises():
+    import pytest as _pytest
+
+    from motcpp_tpu.appearance.reid import ReIDBackend
+
+    with _pytest.raises(ValueError):
+        ReIDBackend(compute_dtype="fp16")
