@@ -64,12 +64,14 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
             ]
             lib.motmux_assemble.restype = ctypes.c_int
             lib.motmux_assemble.argtypes = [
                 ctypes.c_void_p,
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_ubyte),
             ]
@@ -127,6 +129,7 @@ class StreamMux:
         self._dets = np.zeros((S, N, DET_COLS), np.float32)
         self._mask = np.zeros((S, N), np.uint8)
         self._embs = np.zeros((S, N, max(D, 1)), np.float32)
+        self._warps = np.zeros((S, 2, 3), np.float32)
         self._present = np.zeros((S,), np.uint8)
 
     def close(self):
@@ -152,8 +155,10 @@ class StreamMux:
         if self._lib.motmux_detach(self._h, int(slot)) != 0:
             raise ValueError(f"slot {slot} is not attached")
 
-    def submit(self, slot: int, dets, embs=None) -> int:
-        """Queue one frame; returns the queue length after the submit."""
+    def submit(self, slot: int, dets, embs=None, warp=None) -> int:
+        """Queue one frame; returns the queue length after the submit.
+        warp: optional (2, 3) camera warp for this frame (identity when
+        omitted)."""
         dets = np.ascontiguousarray(dets, np.float32).reshape(-1, DET_COLS)
         n = dets.shape[0]
         if n == 0:  # keep a valid pointer for the native call
@@ -166,7 +171,15 @@ class StreamMux:
                     f"embs must be ({n}, {self.emb_dim}), got {embs.shape}"
                 )
             eptr = _fptr(embs)
-        r = self._lib.motmux_submit(self._h, int(slot), _fptr(dets), n, eptr)
+        wptr = None
+        if warp is not None:
+            warp = np.ascontiguousarray(warp, np.float32)
+            if warp.shape != (2, 3):
+                raise ValueError(f"warp must be (2, 3), got {warp.shape}")
+            wptr = _fptr(warp)
+        r = self._lib.motmux_submit(
+            self._h, int(slot), _fptr(dets), n, eptr, wptr
+        )
         if r < 0:
             raise ValueError(f"slot {slot} is not attached")
         return r
@@ -175,18 +188,19 @@ class StreamMux:
         """Pop one frame per live slot into the reusable batch buffers.
 
         Returns (dets (S,N,6) f32, mask (S,N) bool, embs (S,N,D) f32 or
-        None, present (S,) bool). Buffers are OVERWRITTEN by the next
-        assemble — consumers must copy (device transfer counts).
+        None, warps (S,2,3) f32, present (S,) bool). Absent slots get
+        the identity warp. Buffers are OVERWRITTEN by the next assemble
+        — consumers must copy (device transfer counts).
         """
         r = self._lib.motmux_assemble(
             self._h, _fptr(self._dets), _bptr(self._mask),
-            _fptr(self._embs), _bptr(self._present),
+            _fptr(self._embs), _fptr(self._warps), _bptr(self._present),
         )
         if r < 0:
             raise RuntimeError("motmux_assemble failed")
         embs = self._embs if self.emb_dim > 0 else None
         return (
-            self._dets, self._mask.astype(bool), embs,
+            self._dets, self._mask.astype(bool), embs, self._warps,
             self._present.astype(bool),
         )
 
@@ -223,6 +237,7 @@ class PyStreamMux:
         self._dets = np.zeros((S, N, DET_COLS), np.float32)
         self._mask = np.zeros((S, N), bool)
         self._embs = np.zeros((S, N, max(D, 1)), np.float32)
+        self._warps = np.zeros((S, 2, 3), np.float32)
         self._present = np.zeros((S,), bool)
 
     def close(self):
@@ -247,7 +262,7 @@ class PyStreamMux:
             self._attached[slot] = False
             self._q[slot].clear()
 
-    def submit(self, slot: int, dets, embs=None) -> int:
+    def submit(self, slot: int, dets, embs=None, warp=None) -> int:
         dets = np.ascontiguousarray(dets, np.float32).reshape(-1, DET_COLS)
         n = min(dets.shape[0], self.max_dets)
         e = None
@@ -259,6 +274,11 @@ class PyStreamMux:
                     f"got {embs.shape}"
                 )
             e = embs[:n].copy()
+        if warp is not None:
+            warp = np.ascontiguousarray(warp, np.float32)
+            if warp.shape != (2, 3):
+                raise ValueError(f"warp must be (2, 3), got {warp.shape}")
+            warp = warp.copy()
         with self._lock:
             if not (0 <= slot < self.n_streams) or not self._attached[slot]:
                 raise ValueError(f"slot {slot} is not attached")
@@ -266,7 +286,7 @@ class PyStreamMux:
             if len(q) == self.queue_depth:
                 q.popleft()
                 self._dropped += 1
-            q.append((dets[:n].copy(), e))
+            q.append((dets[:n].copy(), e, warp))
             self._submitted += 1
             return len(q)
 
@@ -274,22 +294,27 @@ class PyStreamMux:
         S, N, D = self.n_streams, self.max_dets, self.emb_dim
         self._mask[:] = False
         self._present[:] = False
+        ident = np.asarray([[1, 0, 0], [0, 1, 0]], np.float32)
         with self._lock:
             for s in range(S):
+                self._warps[s] = ident
                 if not self._attached[s] or not self._q[s]:
                     continue
-                d, e = self._q[s].popleft()
+                d, e, w = self._q[s].popleft()
                 n = d.shape[0]
                 self._dets[s, :n] = d
                 self._dets[s, n:] = 0.0
                 if D > 0:
                     self._embs[s, :n] = 0.0 if e is None else e
                     self._embs[s, n:] = 0.0
+                if w is not None:
+                    self._warps[s] = w
                 self._mask[s, :n] = True
                 self._present[s] = True
             self._assembled += 1
         embs = self._embs if D > 0 else None
-        return self._dets, self._mask.copy(), embs, self._present.copy()
+        return (self._dets, self._mask.copy(), embs, self._warps,
+                self._present.copy())
 
     def pending(self, slot: int) -> int:
         with self._lock:

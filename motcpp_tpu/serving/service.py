@@ -67,11 +67,11 @@ class ServedBatch:
 
 
 def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
-                      with_embs: bool):
+                      with_embs: bool, with_warps: bool = False):
     """Build the present/reset-gated batched step.
 
-    Returns ``svc(states, dets, masks, present, reset[, embs]) ->
-    (states, (outs, out_masks))`` where all inputs carry a leading S
+    Returns ``svc(states, dets, masks, present, reset[, embs][, warps])
+    -> (states, (outs, out_masks))`` where all inputs carry a leading S
     axis. ``reset`` slots are re-initialized BEFORE the step (fresh
     attach); ``~present`` slots keep their previous state AFTER it
     (absent stream — the step still executes, its writes are discarded).
@@ -83,15 +83,25 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
         m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
         return jnp.where(m, a, b)
 
-    def svc(states, dets, masks, present, reset, embs=None):
+    def svc(states, dets, masks, present, reset, *extra):
         S = dets.shape[0]
         fresh = jax.vmap(lambda _: init_fn())(jnp.arange(S))
         states = jax.tree_util.tree_map(
             lambda f, s: _sel(reset, f, s), fresh, states
         )
         masks = masks & present[:, None]
-        if with_embs:
-            new_states, (outs, out_masks) = vstep(states, dets, masks, embs)
+        if with_embs and with_warps:
+            new_states, (outs, out_masks) = vstep(
+                states, dets, masks, extra[0], extra[1]
+            )
+        elif with_embs:
+            new_states, (outs, out_masks) = vstep(
+                states, dets, masks, extra[0]
+            )
+        elif with_warps:
+            new_states, (outs, out_masks) = vstep(
+                states, dets, masks, None, extra[0]
+            )
         else:
             new_states, (outs, out_masks) = vstep(states, dets, masks)
         merged = jax.tree_util.tree_map(
@@ -125,10 +135,11 @@ class TrackingService:
     def __init__(self, init_fn: Callable[[], Any], step_fn: Callable,
                  n_streams: int, max_dets: int = 32, emb_dim: int = 0,
                  queue_depth: int = 4, devices: list | None = None,
-                 prefer_native_mux: bool = True):
+                 prefer_native_mux: bool = True, with_warps: bool = False):
         self.n_streams = int(n_streams)
         self.max_dets = int(max_dets)
         self.emb_dim = int(emb_dim)
+        self.with_warps = bool(with_warps)
         self.devices = devices if devices is not None else jax.devices()
         n_dev = len(self.devices)
         if self.n_streams % n_dev != 0:
@@ -141,14 +152,17 @@ class TrackingService:
             prefer_native=prefer_native_mux,
         )
         self._init_fn = init_fn
-        svc = make_service_step(init_fn, step_fn, with_embs=emb_dim > 0)
+        svc = make_service_step(
+            init_fn, step_fn, with_embs=emb_dim > 0,
+            with_warps=self.with_warps,
+        )
 
         if n_dev > 1:
             from jax import shard_map
 
             self.mesh = Mesh(np.asarray(self.devices), ("streams",))
             sp = P("streams")
-            n_in = 5 if emb_dim > 0 else 4
+            n_in = 4 + int(emb_dim > 0) + int(self.with_warps)
             svc = shard_map(
                 svc,
                 mesh=self.mesh,
@@ -209,10 +223,13 @@ class TrackingService:
         self._check(handle)
         self.mux.detach(handle.slot)
 
-    def submit(self, handle: StreamHandle, dets, embs=None) -> int:
-        """Queue one frame (thread-safe); returns the queue length."""
+    def submit(self, handle: StreamHandle, dets, embs=None,
+               warp=None) -> int:
+        """Queue one frame (thread-safe); returns the queue length.
+        warp: optional (2, 3) camera warp for this frame — only applied
+        when the service was built with with_warps=True."""
         self._check(handle)
-        return self.mux.submit(handle.slot, dets, embs)
+        return self.mux.submit(handle.slot, dets, embs, warp)
 
     def pending(self, handle: StreamHandle) -> int:
         self._check(handle)
@@ -229,7 +246,7 @@ class TrackingService:
     # ------------------------------------------------------------------
     def step(self) -> ServedBatch:
         """Assemble one batch and run one tracker step over all slots."""
-        dets, mask, embs, present = self.mux.assemble()
+        dets, mask, embs, warps, present = self.mux.assemble()
         with self._lock:
             reset = self._reset.copy()
             self._reset[:] = False
@@ -241,6 +258,8 @@ class TrackingService:
         ]
         if self.emb_dim > 0:
             args.append(jnp.asarray(embs))
+        if self.with_warps:
+            args.append(jnp.asarray(warps))
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P("streams"))
             args = [jax.device_put(a, sh) for a in args]

@@ -37,15 +37,18 @@ namespace {
 
 constexpr int kDetCols = 6;  // x1, y1, x2, y2, conf, cls
 
+constexpr int kWarpElems = 6;  // 2x3 partial-affine camera warp
+
 struct Slot {
   std::mutex m;
   bool attached = false;
   uint64_t generation = 0;  // bumped on every attach; stale handles fail
   int head = 0;             // ring index of the oldest queued frame
   int count = 0;            // queued frames
-  std::vector<float> dets;  // depth * N * 6
-  std::vector<float> embs;  // depth * N * D (empty when D == 0)
-  std::vector<int> ndet;    // detections in each queued frame
+  std::vector<float> dets;   // depth * N * 6
+  std::vector<float> embs;   // depth * N * D (empty when D == 0)
+  std::vector<float> warps;  // depth * 6 (identity when not supplied)
+  std::vector<int> ndet;     // detections in each queued frame
   uint64_t submitted = 0;
   uint64_t dropped = 0;  // frames evicted by drop-oldest on overflow
 };
@@ -78,6 +81,7 @@ void* motmux_create(int S, int N, int D, int depth) {
   for (int s = 0; s < S; ++s) {
     mux->slots[s].dets.resize(size_t(depth) * N * kDetCols);
     if (D > 0) mux->slots[s].embs.resize(size_t(depth) * N * D);
+    mux->slots[s].warps.resize(size_t(depth) * kWarpElems);
     mux->slots[s].ndet.resize(depth);
   }
   return mux;
@@ -128,12 +132,13 @@ long motmux_generation(void* h, int slot_id) {
 }
 
 // Queue one frame for a slot. dets is (n, 6) row-major float32; embs is
-// (n, D) or null. Rows beyond the mux's N capacity are truncated. When
+// (n, D) or null; warp is a (2, 3) row-major camera warp or null
+// (identity). Rows beyond the mux's N capacity are truncated. When
 // the queue is full the OLDEST frame is evicted (live streams prefer
 // freshness over completeness). Returns the number of queued frames
 // after the submit, or -1 for an invalid slot.
 int motmux_submit(void* h, int slot_id, const float* dets, int n,
-                  const float* embs) {
+                  const float* embs, const float* warp) {
   Mux* mux = as_mux(h);
   if (slot_id < 0 || slot_id >= mux->S || n < 0 || !dets) return -1;
   Slot& slot = mux->slots[slot_id];
@@ -156,6 +161,11 @@ int motmux_submit(void* h, int slot_id, const float* dets, int n,
       std::memset(dst, 0, size_t(n) * mux->D * sizeof(float));
     }
   }
+  {
+    static const float kIdentity[kWarpElems] = {1, 0, 0, 0, 1, 0};
+    std::memcpy(slot.warps.data() + size_t(pos) * kWarpElems,
+                warp ? warp : kIdentity, kWarpElems * sizeof(float));
+  }
   slot.ndet[pos] = n;
   slot.count += 1;
   slot.submitted += 1;
@@ -164,25 +174,30 @@ int motmux_submit(void* h, int slot_id, const float* dets, int n,
 
 // Pop the oldest queued frame of every attached slot into the batch
 // buffers: dets_out (S, N, 6) f32, mask_out (S, N) u8, embs_out
-// (S, N, D) f32 or null when D == 0, present_out (S,) u8. Slots with an
-// empty queue (or unattached) get present = 0 and an all-false mask.
-// Returns the number of present streams.
+// (S, N, D) f32 or null when D == 0, warps_out (S, 2, 3) f32 or null,
+// present_out (S,) u8. Slots with an empty queue (or unattached) get
+// present = 0, an all-false mask, and the identity warp. Returns the
+// number of present streams.
 int motmux_assemble(void* h, float* dets_out, unsigned char* mask_out,
-                    float* embs_out, unsigned char* present_out) {
+                    float* embs_out, float* warps_out,
+                    unsigned char* present_out) {
   Mux* mux = as_mux(h);
   if (!dets_out || !mask_out || !present_out) return -1;
   if (mux->D > 0 && !embs_out) return -1;
   const int N = mux->N, D = mux->D;
+  static const float kIdentity[kWarpElems] = {1, 0, 0, 0, 1, 0};
   int n_present = 0;
   for (int s = 0; s < mux->S; ++s) {
     Slot& slot = mux->slots[s];
     float* drow = dets_out + size_t(s) * N * kDetCols;
     unsigned char* mrow = mask_out + size_t(s) * N;
     float* erow = D > 0 ? embs_out + size_t(s) * N * D : nullptr;
+    float* wrow = warps_out ? warps_out + size_t(s) * kWarpElems : nullptr;
     std::lock_guard<std::mutex> sg(slot.m);
     if (!slot.attached || slot.count == 0) {
       present_out[s] = 0;
       std::memset(mrow, 0, size_t(N));
+      if (wrow) std::memcpy(wrow, kIdentity, kWarpElems * sizeof(float));
       continue;
     }
     int pos = slot.head;
@@ -195,6 +210,10 @@ int motmux_assemble(void* h, float* dets_out, unsigned char* mask_out,
       std::memcpy(erow, slot.embs.data() + size_t(pos) * N * D,
                   size_t(n) * D * sizeof(float));
       std::memset(erow + size_t(n) * D, 0, size_t(N - n) * D * sizeof(float));
+    }
+    if (wrow) {
+      std::memcpy(wrow, slot.warps.data() + size_t(pos) * kWarpElems,
+                  kWarpElems * sizeof(float));
     }
     std::memset(mrow, 1, size_t(n));
     std::memset(mrow + n, 0, size_t(N - n));

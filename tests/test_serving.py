@@ -82,10 +82,10 @@ def test_mux_native_matches_python():
                 q = mux.submit(slot, _frame(rng, int(n)))
                 log.append(("submit", slot, q))
             elif op == "assemble":
-                dets, mask, _, present = mux.assemble()
+                dets, mask, _, warps, present = mux.assemble()
                 log.append(
-                    ("assemble", dets.copy().tobytes(),
-                     mask.tobytes(), present.tobytes())
+                    ("assemble", dets.copy().tobytes(), mask.tobytes(),
+                     warps.copy().tobytes(), present.tobytes())
                 )
         log.append(("stats", tuple(sorted(mux.stats().items()))))
         results.append(log)
@@ -106,12 +106,12 @@ def test_mux_drop_oldest(mux_idx):
     assert mux.submit(slot, f[1]) == 2
     assert mux.submit(slot, f[2]) == 2  # overflow: frame 0 evicted
     assert mux.stats()["dropped"] == 1
-    dets, mask, _, present = mux.assemble()
+    dets, mask, _, _, present = mux.assemble()
     assert present[0] and mask[0, 0] and not mask[0, 1]
     assert dets[0, 0, 0] == 1.0  # oldest surviving frame
-    dets, _, _, _ = mux.assemble()
+    dets, _, _, _, _ = mux.assemble()
     assert dets[0, 0, 0] == 2.0
-    _, _, _, present = mux.assemble()
+    _, _, _, _, present = mux.assemble()
     assert not present[0]  # queue drained
 
 
@@ -125,7 +125,7 @@ def test_mux_truncates_and_embeds(mux_idx):
     rng = np.random.default_rng(0)
     dets, embs = _frame(rng, 5, emb_dim=4)  # 5 rows > N=3
     mux.submit(slot, dets, embs)
-    d, m, e, present = mux.assemble()
+    d, m, e, _, present = mux.assemble()
     assert present[slot] and m[slot].sum() == 3
     np.testing.assert_array_equal(d[slot, :3], dets[:3])
     np.testing.assert_array_equal(e[slot, :3], embs[:3])
@@ -351,3 +351,62 @@ def test_service_sharded_matches_single_device():
 def test_create_mux_fallback():
     mux = create_mux(2, 4, prefer_native=False)
     assert isinstance(mux, PyStreamMux)
+
+
+@pytest.mark.parametrize("mux_idx", [0, 1])
+def test_mux_warp_carried_per_frame(mux_idx):
+    muxes = _mux_pair(S=2, N=4, D=0, depth=3)
+    if mux_idx >= len(muxes):
+        pytest.skip("native mux unavailable")
+    mux = muxes[mux_idx]
+    slot, _ = mux.attach()
+    w1 = np.asarray([[1, 0, 5], [0, 1, -3]], np.float32)
+    mux.submit(slot, _frame(np.random.default_rng(0), 2), warp=w1)
+    mux.submit(slot, _frame(np.random.default_rng(1), 2))  # no warp
+    _, _, _, warps, present = mux.assemble()
+    assert present[slot]
+    np.testing.assert_array_equal(warps[slot], w1)
+    # absent slots (and warp-less frames) get the identity
+    ident = np.asarray([[1, 0, 0], [0, 1, 0]], np.float32)
+    np.testing.assert_array_equal(warps[1 - slot], ident)
+    _, _, _, warps, _ = mux.assemble()
+    np.testing.assert_array_equal(warps[slot], ident)
+    with pytest.raises(ValueError):
+        mux.submit(slot, _frame(np.random.default_rng(2), 1),
+                   warp=np.zeros((3, 3), np.float32))
+
+
+def test_service_warp_leg():
+    """with_warps service: identity warps == no-warp service; a real
+    warp shifts the emitted boxes."""
+    import jax
+
+    frames = _stream_frames(9, 5, n=2)
+    dev = jax.devices()[:1]
+
+    def run(with_warps, warp=None):
+        svc = TrackingService.from_tracker(
+            "botsort", n_streams=1, max_dets=8,
+            tracker_kw=dict(max_tracks=16, with_reid=False),
+            devices=dev, with_warps=with_warps,
+        )
+        h = svc.attach()
+        outs = []
+        for f in frames:
+            svc.submit(h, f, warp=warp if with_warps else None)
+            outs.append(svc.step().tracks_for(h))
+        return outs
+
+    plain = run(False)
+    ident = run(True)  # no warp passed -> identity from the mux
+    for a, b in zip(plain, ident):
+        # identity warp is semantically a no-op but the corner-warp
+        # round-trip (box -> corners -> box) re-rounds in f32
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-3)
+
+    shift = np.asarray([[1, 0, 30], [0, 1, 0]], np.float32)
+    warped = run(True, warp=shift)
+    assert not np.allclose(
+        np.concatenate([o[:, :4] for o in plain[1:]]),
+        np.concatenate([o[:, :4] for o in warped[1:]]),
+    )
