@@ -44,6 +44,13 @@ def test_async_serving():
     assert "streams present" in r.stdout
 
 
+def test_moving_camera():
+    r = _run("moving_camera.py", "--streams", "2", "--ticks", "5")
+    assert r.returncode == 0, r.stderr
+    assert "moving camera ok: STABLE" in r.stdout, r.stdout
+    assert "estimated pans" in r.stdout
+
+
 def test_unknown_tracker_message():
     r = _run("basic_tracking.py", "--tracker", "nope")
     assert r.returncode != 0
