@@ -267,3 +267,40 @@ def test_rollout_warp_leg_identity_noop():
         np.asarray(o1)[np.asarray(m1)][:, :4],
         np.asarray(o2)[np.asarray(m2)][:, :4],
     )
+
+
+def test_rollout_combined_embs_and_warps():
+    """make_rollout_general with both optional legs active."""
+    import jax
+    import jax.numpy as jnp
+
+    from motcpp_tpu.models.botsort import BotSortConfig, make_botsort
+    from motcpp_tpu.parallel import MultiStreamRunner
+
+    S, T, N, D = 2, 4, 6, 8
+    cfg = BotSortConfig(max_tracks=16, max_dets=N, with_reid=True,
+                        emb_dim=D)
+    init_fn, step_fn = make_botsort(cfg)
+    rng = np.random.default_rng(1)
+    dets = np.zeros((T, S, N, 6), np.float32)
+    masks = np.zeros((T, S, N), bool)
+    for t in range(T):
+        for i in range(2):
+            x = 40 + 120 * i + 5 * t
+            dets[t, :, i] = [x, 50, x + 60, 200, 0.9, 0]
+            masks[t, :, i] = True
+    embs = rng.normal(0, 1, (T, S, N, D)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=-1, keepdims=True) + 1e-9
+    warps = np.tile(np.asarray([[1, 0, 2], [0, 1, 1]], np.float32),
+                    (T, S, 1, 1))
+    runner = MultiStreamRunner(
+        init_fn, step_fn, n_streams=S, devices=jax.devices()[:1],
+        with_embs=True, with_warps=True,
+    )
+    outs, out_masks = runner.run(
+        jnp.asarray(dets), jnp.asarray(masks),
+        embs=jnp.asarray(embs), warps=jnp.asarray(warps),
+    )
+    outs = np.asarray(outs)
+    assert np.isfinite(outs[np.asarray(out_masks)]).all()
+    assert int(np.asarray(out_masks).sum()) > 0

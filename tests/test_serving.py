@@ -410,3 +410,26 @@ def test_service_warp_leg():
         np.concatenate([o[:, :4] for o in plain[1:]]),
         np.concatenate([o[:, :4] for o in warped[1:]]),
     )
+
+
+def test_service_combined_embs_and_warps():
+    """The with_embs AND with_warps branch (BoT-SORT with ReID + CMC)."""
+    import jax
+
+    svc = TrackingService.from_tracker(
+        "botsort", n_streams=2, max_dets=8, emb_dim=8,
+        tracker_kw=dict(max_tracks=16, with_reid=True),
+        devices=jax.devices()[:1], with_warps=True,
+    )
+    h = svc.attach()
+    rng = np.random.default_rng(3)
+    shift = np.asarray([[1, 0, 4], [0, 1, 0]], np.float32)
+    emitted = 0
+    for t in range(5):
+        dets, embs = _frame(rng, 3, emb_dim=8)
+        dets[:, [0, 2]] += 4.0 * t
+        svc.submit(h, dets, embs=embs, warp=shift)
+        rows = svc.step().tracks_for(h)
+        assert np.isfinite(rows).all()
+        emitted += rows.shape[0]
+    assert emitted > 0
