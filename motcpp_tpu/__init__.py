@@ -23,8 +23,19 @@ __all__ = [
     "__version__",
     "version",
     "create_tracker",
+    "load_tracker_config",
     "TRACKERS",
 ]
+
+
+def load_tracker_config(name: str):
+    """Load ``configs/trackers/<name>.yaml`` into a typed config
+    (reference: src/config.cpp:76-80 name→path mapping). Thin re-export
+    of :func:`motcpp_tpu.config.load_tracker_config` for the umbrella
+    namespace (reference umbrella header: include/motcpp/motcpp.hpp)."""
+    from motcpp_tpu.config import load_tracker_config as _load
+
+    return _load(name)
 
 
 def create_tracker(name: str, **kwargs):
