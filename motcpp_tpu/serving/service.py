@@ -285,6 +285,33 @@ class TrackingService:
         """Carry state pytree (checkpointable with utils.checkpoint)."""
         return self._states
 
+    def restore(self, states) -> None:
+        """Install a checkpointed carry state (failover / migration).
+
+        The pytree must have the structure of this service's tracker
+        state batched over n_streams (i.e. a previous ``svc.states``,
+        possibly round-tripped through ``utils.checkpoint``). Stream
+        continuation after restore is bit-exact
+        (tests/test_serving.py::test_service_checkpoint_failover).
+        """
+        template = jax.vmap(lambda _: self._init_fn())(
+            jnp.arange(self.n_streams)
+        )
+        t_struct = jax.tree_util.tree_structure(template)
+        s_struct = jax.tree_util.tree_structure(states)
+        if t_struct != s_struct:
+            raise ValueError(
+                f"state structure mismatch: expected {t_struct}, "
+                f"got {s_struct}"
+            )
+        states = jax.tree_util.tree_map(
+            lambda t, s: jnp.asarray(s, t.dtype), template, states
+        )
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P("streams"))
+            states = jax.device_put(states, sh)
+        self._states = states
+
     def stats(self) -> dict:
         s = self.mux.stats()
         s["ticks"] = self._ticks

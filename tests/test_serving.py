@@ -433,3 +433,52 @@ def test_service_combined_embs_and_warps():
         assert np.isfinite(rows).all()
         emitted += rows.shape[0]
     assert emitted > 0
+
+
+def test_service_checkpoint_failover(tmp_path):
+    """svc.states -> utils.checkpoint -> fresh service restore: the
+    stream continues bit-exactly across the failover."""
+    import jax
+
+    from motcpp_tpu.utils.checkpoint import load_state, save_state
+
+    frames = _stream_frames(17, 10)
+    dev = jax.devices()[:1]
+
+    # uninterrupted run
+    ref = _service(n_streams=2, devices=dev)
+    h = ref.attach()
+    ref_rows = []
+    for f in frames:
+        ref.submit(h, f)
+        ref_rows.append(ref.step().tracks_for(h))
+
+    # run half, checkpoint, fail over to a NEW service, run the rest
+    a = _service(n_streams=2, devices=dev)
+    ha = a.attach()
+    got_rows = []
+    for f in frames[:5]:
+        a.submit(ha, f)
+        got_rows.append(a.step().tracks_for(ha))
+    save_state(a.states, tmp_path / "svc.npz")
+
+    b = _service(n_streams=2, devices=dev)
+    hb = b.attach()  # marks the slot for reset...
+    template = b._init_states()
+    b.restore(load_state(template, tmp_path / "svc.npz"))
+    b._reset[:] = False  # ...which the restored checkpoint supersedes
+    for f in frames[5:]:
+        b.submit(hb, f)
+        got_rows.append(b.step().tracks_for(hb))
+
+    assert len(got_rows) == len(ref_rows)
+    for x, y in zip(got_rows, ref_rows):
+        np.testing.assert_array_equal(x, y)
+
+    # structure mismatch is rejected
+    import pytest as _pytest
+
+    other = _service(n_streams=2, devices=dev, tracker="sort",
+                     tracker_kw=dict(min_hits=1))
+    with _pytest.raises(ValueError):
+        other.restore(load_state(template, tmp_path / "svc.npz"))
