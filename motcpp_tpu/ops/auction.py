@@ -62,11 +62,15 @@ def solve_lap_auction(
     thresh,
     eps_frac: float = EPS_FRAC,
     max_rounds: int = MAX_ROUNDS,
+    return_rounds: bool = False,
 ):
     """Masked assignment with cost limit via Jacobi auction.
 
     Same signature/return as solve_lap_masked: (row2col, col2row) int32
     with -1 for unmatched. eps = benefit_range * eps_frac.
+    With ``return_rounds`` a third element — the number of bidding
+    rounds executed — is appended (diagnostic; see scripts/
+    profile_stages.py notes on worst-case round counts).
     """
     R, C = cost.shape
     cost = cost.astype(jnp.float32)
@@ -124,7 +128,7 @@ def solve_lap_auction(
     p0 = jnp.zeros((C,), jnp.float32)
     r2c0 = jnp.where(row_mask, -1, -2).astype(jnp.int32)
     c2r0 = jnp.full((C,), -1, jnp.int32)
-    _, _, r2c, _ = lax.while_loop(
+    rounds, _, r2c, _ = lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), p0, r2c0, c2r0)
     )
 
@@ -133,4 +137,6 @@ def solve_lap_auction(
     col2row = jnp.where(
         jnp.any(inv, axis=0), jnp.argmax(inv, axis=0).astype(jnp.int32), -1
     )
+    if return_rounds:
+        return row2col, col2row, rounds
     return row2col, col2row

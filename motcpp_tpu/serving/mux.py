@@ -42,13 +42,22 @@ def _load():
         _tried = True
         try:
             if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     str(_SRC), "-o", str(_SO)],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
+                # Build to a per-process temp path, then atomically
+                # rename: concurrent processes racing g++ into the same
+                # output would dlopen a half-written .so and latch the
+                # native mux off for the whole process.
+                tmp = _SO.with_suffix(f".so.tmp.{os.getpid()}")
+                try:
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                         str(_SRC), "-o", str(tmp)],
+                        check=True,
+                        capture_output=True,
+                        timeout=120,
+                    )
+                    os.replace(tmp, _SO)
+                finally:
+                    tmp.unlink(missing_ok=True)
             lib = ctypes.CDLL(str(_SO))
             lib.motmux_create.restype = ctypes.c_void_p
             lib.motmux_create.argtypes = [ctypes.c_int] * 4

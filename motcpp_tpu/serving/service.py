@@ -197,9 +197,15 @@ class TrackingService:
         mod = importlib.import_module(f"motcpp_tpu.models.{name}")
         make = getattr(mod, f"make_{name}")
         cfg_cls = next(
-            v for k, v in vars(mod).items() if k.lower() == f"{name}config"
-            or k == {"ucmctrack": "UCMCConfig"}.get(name)
+            (v for k, v in vars(mod).items() if k.lower() == f"{name}config"
+             or k == {"ucmctrack": "UCMCConfig"}.get(name)),
+            None,
         )
+        if cfg_cls is None:
+            raise ValueError(
+                f"tracker module motcpp_tpu.models.{name} has no config "
+                f"class matching '{name}Config' (case-insensitive)"
+            )
         kw = dict(tracker_kw or {})
         kw.setdefault("max_dets", max_dets)
         if emb_dim > 0 and "emb_dim" in cfg_cls.__dataclass_fields__:
@@ -282,8 +288,15 @@ class TrackingService:
 
     @property
     def states(self):
-        """Carry state pytree (checkpointable with utils.checkpoint)."""
-        return self._states
+        """Carry state pytree (checkpointable with utils.checkpoint).
+
+        Returns a copy: the live carry is donated to the next
+        :meth:`step`, so handing out the raw buffers would let a caller
+        hold deleted arrays after that step runs.
+        """
+        if self._states is None:
+            return None
+        return jax.tree_util.tree_map(jnp.copy, self._states)
 
     def restore(self, states) -> None:
         """Install a checkpointed carry state (failover / migration).
@@ -304,8 +317,12 @@ class TrackingService:
                 f"state structure mismatch: expected {t_struct}, "
                 f"got {s_struct}"
             )
+        # jnp.array (not asarray) so the installed leaves are fresh
+        # buffers: _svc donates argument 0, and installing the caller's
+        # live arrays (e.g. another service's .states) would let the
+        # next step() delete buffers the caller still holds.
         states = jax.tree_util.tree_map(
-            lambda t, s: jnp.asarray(s, t.dtype), template, states
+            lambda t, s: jnp.array(s, t.dtype), template, states
         )
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P("streams"))

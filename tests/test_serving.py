@@ -482,3 +482,52 @@ def test_service_checkpoint_failover(tmp_path):
                      tracker_kw=dict(min_hits=1))
     with _pytest.raises(ValueError):
         other.restore(load_state(template, tmp_path / "svc.npz"))
+
+
+def test_service_restore_from_live_pytree_does_not_alias(tmp_path):
+    """Restoring service B from service A's live state must copy the
+    buffers: the service step donates its carry, so aliased leaves
+    would be deleted out from under A on B's next step (ADVICE r2)."""
+    import jax
+
+    dev = jax.devices()[:1]
+    frames = _stream_frames(23, 8)
+
+    a = _service(n_streams=2, devices=dev)
+    ha = a.attach()
+    for f in frames[:4]:
+        a.submit(ha, f)
+        a.step()
+
+    # migrate A -> B from the raw internal pytree (worst case: no
+    # property-level copy in the way), then step BOTH services
+    b = _service(n_streams=2, devices=dev)
+    hb = b.attach()
+    b.restore(a._states)
+    b._reset[:] = False
+    for f in frames[4:]:
+        a.submit(ha, f)
+        b.submit(hb, f)
+        ra = a.step().tracks_for(ha)   # must not raise on deleted buffers
+        rb = b.step().tracks_for(hb)
+        np.testing.assert_array_equal(ra, rb)
+
+
+def test_service_states_property_survives_step():
+    """`svc.states` is documented checkpointable: reading it, stepping,
+    then saving must read live (copied) buffers, not donated ones."""
+    import numpy as _np
+
+    dev = None
+    frames = _stream_frames(29, 4)
+    svc = _service(n_streams=2)
+    h = svc.attach()
+    for f in frames[:3]:
+        svc.submit(h, f)
+        svc.step()
+    snap = svc.states
+    svc.submit(h, frames[3])
+    svc.step()
+    # every leaf of the snapshot is still readable after the step
+    leaves = __import__("jax").tree_util.tree_leaves(snap)
+    assert all(_np.asarray(x) is not None for x in leaves)
