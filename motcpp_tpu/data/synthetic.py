@@ -113,3 +113,207 @@ def camera_pan_scene(
             np.asarray(embs, np.float32).reshape(len(embs), emb_dim)
         )
     return frames, dets_all, embs_all
+
+
+def ablation_scene(
+    n_frames: int = 600,
+    img_wh: tuple = (1920, 1080),
+    concurrency: tuple = (38, 85),
+    emb_dim: int = 32,
+    seed: int = 0,
+    pan_amp: tuple = (40.0, 12.0),
+    pan_period: float = 300.0,
+):
+    """Ablation-scale tracking benchmark scene (no images, 600+ frames).
+
+    A reproducible stand-in for the MOT17 ablation split (which ships
+    via a GitHub release the reference downloads in
+    scripts/auto_benchmark.sh — unavailable without egress): identity
+    churn via edge entry/exit, 30-80 concurrent pedestrians, pairwise
+    occlusions with visibility-driven detection degradation, smooth
+    sinusoidal camera pan (returned as per-frame GT warps for
+    precomputed-warp injection), and detection noise calibrated to the
+    vendored FRCNN det files (w 66-75 +/- 15-60 px, h 180-193 px, ~90%
+    of confidences >= 0.81 with an ~8% low-conf tail, ~0.7 false
+    positives per frame; measured from assets/MOT17-mini det.txt).
+
+    Returns (gt, dets, embs, warps), all dicts keyed by frame 1..T:
+      gt[t]   = (ids (G,), boxes (G,4) xyxy, vis (G,))  — GT rows only
+                for objects with visibility >= 0.25 (TrackEval-style
+                occluded-GT handling).
+      dets[t] = (n, 6) [x1,y1,x2,y2,conf,cls]
+      embs[t] = (n, emb_dim) unit vectors, identity-stable, corrupted
+                in proportion to occlusion.
+      warps[t] = (2, 3) affine mapping frame t-1 image coords -> frame
+                t image coords (identity at t=1) — what a perfect CMC
+                estimator would return.
+    """
+    W, H = img_wh
+    lo, hi = concurrency
+    rng = np.random.default_rng(seed)
+
+    # camera path: smooth two-frequency pan (never exactly periodic)
+    t_axis = np.arange(n_frames + 1, dtype=np.float64)
+    cam_x = pan_amp[0] * (
+        np.sin(2 * np.pi * t_axis / pan_period)
+        + 0.35 * np.sin(2 * np.pi * t_axis / (pan_period * 0.37) + 1.1)
+    )
+    cam_y = pan_amp[1] * (
+        np.sin(2 * np.pi * t_axis / (pan_period * 0.81) + 0.4)
+    )
+
+    # slowly varying target concurrency inside [lo, hi]
+    target = lo + (hi - lo) * 0.5 * (
+        1 + np.sin(2 * np.pi * t_axis / (n_frames * 0.9) - np.pi / 2)
+    )
+
+    class Obj:
+        __slots__ = ("oid", "cx", "cy", "vx", "vy", "w", "h", "emb",
+                     "t_exit")
+
+    objects = []
+    next_id = 1
+    max_speed = 4.0
+
+    def spawn(t):
+        nonlocal next_id
+        o = Obj()
+        o.oid = next_id
+        next_id += 1
+        o.w = float(np.clip(rng.normal(70, 15), 35, 140))
+        o.h = float(np.clip(rng.normal(185, 40), 90, 320))
+        side = rng.integers(0, 4) if t > 0 else 4
+        speed = rng.uniform(0.8, max_speed)
+        ang = rng.uniform(0, 2 * np.pi)
+        if side == 4:  # initial fill: anywhere, any direction
+            o.cx = rng.uniform(80, W - 80) + cam_x[t]
+            o.cy = rng.uniform(150, H - 60) + cam_y[t]
+            o.vx, o.vy = speed * np.cos(ang), 0.3 * speed * np.sin(ang)
+        else:  # edge entry, walking inward
+            if side == 0:
+                o.cx, o.vx = cam_x[t] - o.w / 2, abs(speed * np.cos(ang)) + 0.5
+                o.cy, o.vy = rng.uniform(150, H - 60) + cam_y[t], 0.3 * speed * np.sin(ang)
+            elif side == 1:
+                o.cx, o.vx = W + o.w / 2 + cam_x[t], -abs(speed * np.cos(ang)) - 0.5
+                o.cy, o.vy = rng.uniform(150, H - 60) + cam_y[t], 0.3 * speed * np.sin(ang)
+            elif side == 2:
+                o.cy, o.vy = cam_y[t] - o.h / 2, abs(0.3 * speed) + 0.2
+                o.cx, o.vx = rng.uniform(80, W - 80) + cam_x[t], speed * np.cos(ang)
+            else:
+                o.cy, o.vy = H + o.h / 2 + cam_y[t], -abs(0.3 * speed) - 0.2
+                o.cx, o.vx = rng.uniform(80, W - 80) + cam_x[t], speed * np.cos(ang)
+        e = rng.normal(0, 1, emb_dim).astype(np.float32)
+        o.emb = e / np.linalg.norm(e)
+        o.t_exit = t + int(rng.uniform(90, n_frames))  # lifespan churn
+        return o
+
+    for _ in range(int(target[0])):
+        objects.append(spawn(0))
+
+    gt, dets, embs, warps = {}, {}, {}, {}
+    for t in range(1, n_frames + 1):
+        # physics step: velocity random walk (walking pedestrians)
+        for o in objects:
+            o.vx = float(np.clip(o.vx + rng.normal(0, 0.15), -max_speed, max_speed))
+            o.vy = float(np.clip(o.vy + rng.normal(0, 0.08), -max_speed * 0.5, max_speed * 0.5))
+            o.cx += o.vx
+            o.cy += o.vy
+
+        # image-space boxes under the pan
+        ox, oy = cam_x[t], cam_y[t]
+        boxes = np.asarray(
+            [[o.cx - o.w / 2 - ox, o.cy - o.h / 2 - oy,
+              o.cx + o.w / 2 - ox, o.cy + o.h / 2 - oy] for o in objects],
+            np.float64,
+        ).reshape(len(objects), 4)
+
+        # cull exits (fully out of frame or lifespan over)
+        in_frame = (
+            (boxes[:, 2] > 0) & (boxes[:, 0] < W)
+            & (boxes[:, 3] > 0) & (boxes[:, 1] < H)
+        )
+        alive = [
+            (o, b) for (o, b), ok in zip(zip(objects, boxes), in_frame)
+            if ok and t < o.t_exit
+        ]
+        objects = [o for o, _ in alive]
+        boxes = np.asarray([b for _, b in alive], np.float64).reshape(
+            len(alive), 4
+        )
+
+        # churn: top up toward the concurrency target
+        deficit = int(target[t]) - len(objects)
+        for _ in range(max(deficit, 0)):
+            objects.append(spawn(t))
+        if deficit > 0:
+            extra = np.asarray(
+                [[o.cx - o.w / 2 - ox, o.cy - o.h / 2 - oy,
+                  o.cx + o.w / 2 - ox, o.cy + o.h / 2 - oy]
+                 for o in objects[-deficit:]], np.float64,
+            ).reshape(deficit, 4)
+            boxes = np.concatenate([boxes, extra], 0)
+
+        G = len(objects)
+        # visibility: fraction NOT covered by any closer object
+        # (MOT convention: larger y2 = closer to camera)
+        vis = np.ones(G)
+        if G > 1:
+            x1 = np.maximum(boxes[:, None, 0], boxes[None, :, 0])
+            y1 = np.maximum(boxes[:, None, 1], boxes[None, :, 1])
+            x2 = np.minimum(boxes[:, None, 2], boxes[None, :, 2])
+            y2 = np.minimum(boxes[:, None, 3], boxes[None, :, 3])
+            inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+            area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            closer = boxes[None, :, 3] > boxes[:, None, 3]  # j closer than i
+            cover = np.where(closer, inter / np.maximum(area[:, None], 1e-9), 0.0)
+            np.fill_diagonal(cover, 0.0)
+            vis = np.clip(1.0 - cover.max(axis=1), 0.0, 1.0)
+        # clip visibility by frame boundary overlap too
+        bx1 = np.clip(boxes[:, 0], 0, W)
+        by1 = np.clip(boxes[:, 1], 0, H)
+        bx2 = np.clip(boxes[:, 2], 0, W)
+        by2 = np.clip(boxes[:, 3], 0, H)
+        in_area = np.clip(bx2 - bx1, 0, None) * np.clip(by2 - by1, 0, None)
+        full = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        vis = vis * in_area / np.maximum(full, 1e-9)
+
+        keep_gt = vis >= 0.25
+        ids = np.asarray([o.oid for o in objects])
+        gt[t] = (ids[keep_gt], boxes[keep_gt].copy(), vis[keep_gt].copy())
+
+        # detector model (FRCNN-calibrated)
+        det_rows, emb_rows = [], []
+        for i, o in enumerate(objects):
+            v = vis[i]
+            # miss probability rises steeply as visibility drops
+            p_miss = 0.02 + 0.9 * (1.0 - v) ** 2
+            if rng.random() < p_miss:
+                continue
+            jitter = rng.normal(0, 2.0 + 4.0 * (1 - v), 4)
+            b = boxes[i] + jitter
+            if v > 0.7:
+                conf = float(np.clip(rng.normal(0.97, 0.05), 0.5, 1.0))
+            else:
+                conf = float(np.clip(rng.normal(0.45 + 0.5 * v, 0.15), 0.05, 0.95))
+            det_rows.append([b[0], b[1], b[2], b[3], conf, 0.0])
+            e = o.emb + rng.normal(0, 0.05 + 0.4 * (1 - v), emb_dim).astype(np.float32)
+            emb_rows.append(e / np.linalg.norm(e))
+        # false positives: ~0.7/frame, low-conf tail like FRCNN's
+        for _ in range(rng.poisson(0.7)):
+            fw = np.clip(rng.normal(70, 25), 30, 150)
+            fh = np.clip(rng.normal(180, 60), 70, 330)
+            fx = rng.uniform(0, W - fw)
+            fy = rng.uniform(0, H - fh)
+            det_rows.append([fx, fy, fx + fw, fy + fh,
+                             float(rng.uniform(0.05, 0.75)), 0.0])
+            e = rng.normal(0, 1, emb_dim).astype(np.float32)
+            emb_rows.append(e / np.linalg.norm(e))
+        dets[t] = np.asarray(det_rows, np.float32).reshape(len(det_rows), 6)
+        embs[t] = np.asarray(emb_rows, np.float32).reshape(len(emb_rows), emb_dim)
+
+        # GT warp mapping frame t-1 -> t coords: pure camera translation
+        dxw = float(cam_x[t - 1] - cam_x[t])
+        dyw = float(cam_y[t - 1] - cam_y[t])
+        warps[t] = np.asarray([[1.0, 0.0, dxw], [0.0, 1.0, dyw]], np.float32)
+
+    return gt, dets, embs, warps

@@ -83,7 +83,13 @@ class BaseTrackerWrapper:
         dets: np.ndarray,
         img: np.ndarray | None = None,
         embs: np.ndarray | None = None,
+        warp: np.ndarray | None = None,
     ) -> np.ndarray:
+        """Process one frame. ``warp`` optionally injects a precomputed
+        (2, 3) camera-motion affine, bypassing the tracker's own CMC
+        estimator — the warp analogue of passing precomputed ``embs``
+        instead of running the ReID backbone (SURVEY §7.6; the reference
+        supports only the embs half, mot17_dataset.cpp:244-296)."""
         dets = np.asarray(dets, np.float32)
         if dets.size == 0:
             dets = dets.reshape(0, 7 if self.is_obb else self.DET_COLS)
@@ -104,9 +110,11 @@ class BaseTrackerWrapper:
         else:
             emb_pad = np.zeros((self.max_dets, max(self.emb_dim, 1)), np.float32)
 
-        warp = self._compute_warp(img, dets)
+        if warp is None:
+            warp = self._compute_warp(img, dets)
         if warp is None:
             warp = np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+        warp = np.asarray(warp, np.float32).reshape(2, 3)
 
         if self._state is None:
             self._state = self._init_state()

@@ -437,7 +437,7 @@ class BoostTrack(BaseTrackerWrapper):
         self._init, self._core_step = make_boosttrack(self.cfg)
         self._jit_step = None
 
-    def update(self, dets, img=None, embs=None):
+    def update(self, dets, img=None, embs=None, warp=None):
         import numpy as np
 
         embs_arr = None if embs is None else np.asarray(embs, np.float32)
@@ -449,7 +449,7 @@ class BoostTrack(BaseTrackerWrapper):
             self.emb_dim = embs_arr.shape[1]
             self._build(embs_arr.shape[1])
             self._state = None
-        return super().update(dets, img, embs_arr)
+        return super().update(dets, img, embs_arr, warp=warp)
 
     def _compute_warp(self, img, dets):
         # ECC when enabled and detections exist (boosttrack.cpp:486-495)

@@ -417,7 +417,7 @@ class BotSort(BaseTrackerWrapper):
         self._init, self._core_step = make_botsort(self.cfg)
         self._jit_step = None
 
-    def update(self, dets, img=None, embs=None):
+    def update(self, dets, img=None, embs=None, warp=None):
         import numpy as np
 
         dets = np.asarray(dets, np.float32)
@@ -444,7 +444,7 @@ class BotSort(BaseTrackerWrapper):
             if embs_arr is not None and embs_arr.shape[1] != self.cfg.emb_dim:
                 self.emb_dim = embs_arr.shape[1]
                 self._build(embs_arr.shape[1])
-        return super().update(dets, img, embs_arr)
+        return super().update(dets, img, embs_arr, warp=warp)
 
     def _compute_warp(self, img, dets):
         # GMC via ECC (botsort.cpp:239-242, 316-324)

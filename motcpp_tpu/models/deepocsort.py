@@ -514,7 +514,7 @@ class DeepOCSort(BaseTrackerWrapper):
         self._init, self._core_step = make_deepocsort(self.cfg)
         self._jit_step = None
 
-    def update(self, dets, img=None, embs=None):
+    def update(self, dets, img=None, embs=None, warp=None):
         import numpy as np
 
         embs_arr = None if embs is None else np.asarray(embs, np.float32)
@@ -540,7 +540,7 @@ class DeepOCSort(BaseTrackerWrapper):
             if embs_arr is not None and embs_arr.shape[1] != self.cfg.emb_dim:
                 self.emb_dim = embs_arr.shape[1]
                 self._build(embs_arr.shape[1])
-        return super().update(dets, img, embs_arr)
+        return super().update(dets, img, embs_arr, warp=warp)
 
     def _compute_warp(self, img, dets):
         if self.cfg.cmc_off or img is None or dets.shape[0] == 0:

@@ -642,7 +642,7 @@ class HybridSort(BaseTrackerWrapper):
         self._init, self._core_step = make_hybridsort(self.cfg)
         self._jit_step = None
 
-    def update(self, dets, img=None, embs=None):
+    def update(self, dets, img=None, embs=None, warp=None):
         import numpy as np
 
         dets = np.asarray(dets, np.float32)
@@ -657,7 +657,7 @@ class HybridSort(BaseTrackerWrapper):
             self.emb_dim = embs_arr.shape[1]
             self._build(embs_arr.shape[1])
             self._state = None
-        return super().update(dets, img, embs_arr)
+        return super().update(dets, img, embs_arr, warp=warp)
 
     def _compute_warp(self, img, dets):
         # ECC (hybridsort.cpp:846-857)

@@ -30,7 +30,7 @@ class PerClassTracker:
         self.nr_classes = nr_classes
         self._trackers: dict[int, object] = {}
 
-    def update(self, dets, img=None, embs=None) -> np.ndarray:
+    def update(self, dets, img=None, embs=None, warp=None) -> np.ndarray:
         dets = np.asarray(dets, np.float32)
         if dets.size == 0:
             dets = dets.reshape(0, 6)
@@ -56,7 +56,7 @@ class PerClassTracker:
                 if cls_dets.shape[0] == 0:
                     continue
                 self._trackers[cls_id] = self.factory()
-            out = self._trackers[cls_id].update(cls_dets, img, cls_embs)
+            out = self._trackers[cls_id].update(cls_dets, img, cls_embs, warp=warp)
             if out.shape[0]:
                 out = out.copy()
                 out[:, 4] += cls_id * self.ID_STRIDE

@@ -389,7 +389,7 @@ class StrongSORT(BaseTrackerWrapper):
         self._init, self._core_step = make_strongsort(self.cfg)
         self._jit_step = None
 
-    def update(self, dets, img=None, embs=None):
+    def update(self, dets, img=None, embs=None, warp=None):
         import numpy as np
 
         embs_arr = None if embs is None else np.asarray(embs, np.float32)
@@ -411,7 +411,7 @@ class StrongSORT(BaseTrackerWrapper):
             if embs_arr is not None and embs_arr.shape[1] != self.cfg.emb_dim:
                 self.emb_dim = embs_arr.shape[1]
                 self._build(embs_arr.shape[1])
-        return super().update(dets, img, embs_arr)
+        return super().update(dets, img, embs_arr, warp=warp)
 
     def _compute_warp(self, img, dets):
         # ECC on every frame once tracks exist (strongsort.cpp:915-921)

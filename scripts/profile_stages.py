@@ -17,12 +17,21 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def timed_scan(fn, args, iters, label):
+def timed_scan(fn, args, iters, label, chunk=None):
     """Scan fn over `iters` dummy steps; report ms per step.
 
     The first float array argument is perturbed by the carry each step —
     without that, XLA hoists the (loop-invariant) stage out of the scan
     and the measurement collapses to loop overhead.
+
+    ``chunk`` bounds how many steps go into ONE device program: the
+    iters are split into ceil(iters/chunk) program executions with a
+    host sync between. Use it for stages whose single step already runs
+    ~seconds (the batched worst-case auction: 417 bidding rounds ≈ 1.4 s
+    at S=4096) — a single multi-minute XLA program sporadically trips
+    the axon tunnel's RPC deadline and drops the TPU worker
+    (UNAVAILABLE, multi-minute reconnect; diagnosed round 3, was
+    commit e9e782b's crash).
     """
     import jax
     import jax.numpy as jnp
@@ -43,17 +52,26 @@ def timed_scan(fn, args, iters, label):
         leaf = jax.tree_util.tree_leaves(out)[0]
         return carry + jnp.sum(leaf.astype(jnp.float32)), None
 
+    per_prog = min(chunk or iters, iters)
+    n_progs = -(-iters // per_prog)
+
     prog = jax.jit(
-        lambda: jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
+        lambda c: jax.lax.scan(body, c, None, length=per_prog)[0]
     )
+
+    def run():
+        c = jnp.float32(0.0)
+        for _ in range(n_progs):
+            c = prog(c)
+            float(np.asarray(c))  # materialize (axon abort detection)
+        return c
+
     t0 = time.time()
-    r = prog()
-    float(np.asarray(r))  # materialize (axon abort detection)
+    run()
     compile_s = time.time() - t0
     t0 = time.time()
-    r = prog()
-    float(np.asarray(r))
-    per_step_ms = (time.time() - t0) / iters * 1e3
+    run()
+    per_step_ms = (time.time() - t0) / (n_progs * per_prog) * 1e3
     print(f"{label:42s} {per_step_ms:8.2f} ms/step   (compile {compile_s:.0f}s)")
     return per_step_ms
 
@@ -63,12 +81,17 @@ def main():
     ap.add_argument("--streams", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--cpu", action="store_true")
-    # NOTE: the jnp-broadcast "auction" stage is NOT in the defaults: on
-    # worst-case random costs at S=4096 its 30-iteration scan has twice
-    # crashed the TPU worker (UNAVAILABLE, multi-minute reconnect), and
-    # random-cost microbenches overstate in-vivo auction cost ~15x
-    # anyway. Request it explicitly (at smaller --streams) if needed.
-    ap.add_argument("--stages", nargs="*", default=["pallas", "iou", "kf"])
+    # The jnp "auction" stage is back in the defaults (round 3): the
+    # round-2 worker crashes were NOT a solver fault — worst-case random
+    # costs drive the batched while_loop to ~417 rounds (~1.4 s/solve at
+    # S=4096), and 30 solves chained into ONE scanned XLA program made a
+    # minutes-long device execution that sporadically tripped the axon
+    # tunnel RPC deadline. timed_scan(chunk=1) now bounds every device
+    # program to a single solve. Note random-cost microbenches still
+    # overstate in-vivo auction cost ~15x (real cost matrices are
+    # sparse/distinct; see tests/test_auction.py worst-case pins).
+    ap.add_argument("--stages", nargs="*",
+                    default=["auction", "pallas", "iou", "kf"])
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -89,7 +112,8 @@ def main():
         fn = jax.vmap(
             lambda c, r, m: solve_lap_masked(c, r, m, 0.9, impl="auction")
         )
-        timed_scan(fn, (cost, rmask, cmask), args.iters, f"auction (jnp) {S}x({K}x{N})")
+        timed_scan(fn, (cost, rmask, cmask), args.iters,
+                   f"auction (jnp) {S}x({K}x{N})", chunk=1)
 
     if "pallas" in args.stages:
         from motcpp_tpu.ops.lap import solve_lap_masked
@@ -97,7 +121,8 @@ def main():
         fn = jax.vmap(
             lambda c, r, m: solve_lap_masked(c, r, m, 0.9, impl="auction_pallas")
         )
-        timed_scan(fn, (cost, rmask, cmask), args.iters, f"auction (pallas) {S}x({K}x{N})")
+        timed_scan(fn, (cost, rmask, cmask), args.iters,
+                   f"auction (pallas) {S}x({K}x{N})", chunk=1)
 
     if "iou" in args.stages:
         from motcpp_tpu.ops.iou import iou_batch

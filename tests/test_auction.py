@@ -134,3 +134,64 @@ def test_pallas_auction_in_tracker():
         out = tr.update(d, IMG)
         ids.update(out[:, 4].astype(int))
     assert ids == {1}
+
+
+@pytest.mark.parametrize("impl", ["auction", "auction_pallas"])
+def test_worst_case_random_costs_regression(impl):
+    """The profile-crash input class (round 2, commit e9e782b) at
+    reduced scale: dense uniform random costs are all-near-tie, the
+    batched while_loop's worst case (measured ~417 rounds at S=4096 on
+    TPU — a ~1.4 s device program per solve, NOT a runaway). The solver
+    must terminate well under the round cap with a valid, in-threshold,
+    eps-optimal matching for every instance."""
+    import jax
+
+    from motcpp_tpu.ops.auction import EPS_FRAC, MAX_ROUNDS
+
+    S, K, N, thresh = 256, 64, 32, 0.9
+    rng = np.random.default_rng(0)
+    cost = jnp.asarray(rng.uniform(0, 1, (S, K, N)).astype(np.float32))
+    rmask = jnp.asarray(rng.random((S, K)) < 0.5)
+    cmask = jnp.asarray(rng.random((S, N)) < 0.6)
+
+    if impl == "auction":
+        f = jax.jit(jax.vmap(
+            lambda c, r, m: solve_lap_auction(c, r, m, thresh,
+                                              return_rounds=True)
+        ))
+        r2c, c2r, rounds = f(cost, rmask, cmask)
+        rounds = np.asarray(rounds)
+        # termination head-room: the cap must never be the stopper
+        assert rounds.max() < MAX_ROUNDS // 2, rounds.max()
+    else:
+        f = jax.jit(jax.vmap(
+            lambda c, r, m: solve_lap_masked(c, r, m, thresh, impl=impl)
+        ))
+        r2c, c2r = f(cost, rmask, cmask)
+
+    r2c = np.asarray(r2c)
+    c2r = np.asarray(c2r)
+    cost_np = np.asarray(cost)
+    rm = np.asarray(rmask)
+    cm = np.asarray(cmask)
+    matched = r2c >= 0
+    # masked rows/cols never match; matches respect the cost limit
+    assert not (matched & ~rm).any()
+    for s in range(S):
+        js = r2c[s][matched[s]]
+        assert len(js) == len(set(js.tolist()))  # injective
+        assert cm[s][js].all()
+        ii = np.nonzero(matched[s])[0]
+        assert (cost_np[s][ii, js] < thresh + 1e-5).all()
+        assert (c2r[s][js] == ii).all()  # inverse map consistent
+
+    # spot-check eps-optimality vs exact JV on a handful of instances
+    for s in range(0, S, 64):
+        jv, _ = solve_lap_masked(
+            jnp.asarray(cost_np[s]), jnp.asarray(rm[s]), jnp.asarray(cm[s]),
+            thresh,
+        )
+        obj_jv = _objective(cost_np[s], np.asarray(jv), thresh)
+        obj_au = _objective(cost_np[s], r2c[s], thresh)
+        n_matched = int(matched[s].sum()) + 1
+        assert obj_au <= obj_jv + n_matched * thresh * EPS_FRAC + 1e-5
