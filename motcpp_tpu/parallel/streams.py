@@ -66,23 +66,38 @@ def make_rollout_embs(step_fn: Callable):
 
 
 def make_rollout_general(step_fn: Callable, with_embs: bool = False,
-                         with_warps: bool = False):
-    """Rollout with optional embedding (T, S, N, D) and camera-warp
-    (T, S, 2, 3) legs. Warps reach the per-stream step as its ``warp``
-    argument, exercising each tracker's CMC application style (BoT-SORT
-    corner warp, XYSR affine blocks, camera_update) inside the scanned
-    SPMD program — the reference applies warps per frame on the host
-    (e.g. botsort.cpp:318-323)."""
+                         with_warps: bool = False,
+                         embed_fn: Callable | None = None):
+    """Rollout with optional embedding (T, S, N, D), camera-warp
+    (T, S, 2, 3), and raw-crop legs. Warps reach the per-stream step as
+    its ``warp`` argument, exercising each tracker's CMC application
+    style (BoT-SORT corner warp, XYSR affine blocks, camera_update)
+    inside the scanned SPMD program — the reference applies warps per
+    frame on the host (e.g. botsort.cpp:318-323).
+
+    With ``embed_fn`` (from appearance.reid.make_embed_fn) the
+    embedding leg becomes LIVE ReID from pixels: the rollout consumes
+    raw uint8 crops (T, S, N, Hc, Wc, 3) instead of embeddings, and
+    each scan step runs the CNN over the flattened S*N crop batch
+    before the tracker step — one fused XLA program per frame, the
+    in-graph equivalent of the reference computing features inside
+    update() (onnx_backend.cpp:110-223 via botsort.cpp:281)."""
 
     vstep = jax.vmap(step_fn)
 
     def rollout(states, dets, masks, *extra):
         def body(st, inp):
             d, m, *rest = inp
-            if with_embs and with_warps:
-                st, out = vstep(st, d, m, rest[0], rest[1])
-            elif with_embs:
-                st, out = vstep(st, d, m, rest[0])
+            if with_embs:
+                e = rest[0]
+                if embed_fn is not None:
+                    S, N = e.shape[:2]
+                    e = embed_fn(e.reshape((S * N,) + e.shape[2:]))
+                    e = e.reshape(S, N, -1)
+                if with_warps:
+                    st, out = vstep(st, d, m, e, rest[1])
+                else:
+                    st, out = vstep(st, d, m, e)
             elif with_warps:
                 st, out = vstep(st, d, m, None, rest[0])
             else:
@@ -116,10 +131,15 @@ class MultiStreamRunner:
         devices: list | None = None,
         with_embs: bool = False,
         with_warps: bool = False,
+        embed_fn: Callable | None = None,
     ):
+        """embed_fn (appearance.reid.make_embed_fn): switch the
+        embedding leg to live ReID — run() then takes raw uint8 crops
+        (T, S, N, Hc, Wc, 3) in place of embs and the CNN runs in-graph
+        per scanned frame. Implies with_embs."""
         self.n_streams = int(n_streams)
         self.devices = devices if devices is not None else jax.devices()
-        self.with_embs = bool(with_embs)
+        self.with_embs = bool(with_embs) or embed_fn is not None
         self.with_warps = bool(with_warps)
         n_dev = len(self.devices)
         if self.n_streams % n_dev != 0:
@@ -130,7 +150,8 @@ class MultiStreamRunner:
         self.mesh = Mesh(np.asarray(self.devices), ("streams",))
         self._init_fn = init_fn
         rollout = make_rollout_general(
-            step_fn, with_embs=self.with_embs, with_warps=self.with_warps
+            step_fn, with_embs=self.with_embs, with_warps=self.with_warps,
+            embed_fn=embed_fn,
         )
 
         if n_dev > 1:

@@ -60,7 +60,7 @@ def _load():
                     tmp.unlink(missing_ok=True)
             lib = ctypes.CDLL(str(_SO))
             lib.motmux_create.restype = ctypes.c_void_p
-            lib.motmux_create.argtypes = [ctypes.c_int] * 4
+            lib.motmux_create.argtypes = [ctypes.c_int] * 5
             lib.motmux_destroy.argtypes = [ctypes.c_void_p]
             lib.motmux_attach.restype = ctypes.c_int
             lib.motmux_attach.argtypes = [ctypes.c_void_p]
@@ -74,6 +74,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_ubyte),
             ]
             lib.motmux_assemble.restype = ctypes.c_int
             lib.motmux_assemble.argtypes = [
@@ -82,6 +83,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_ubyte),
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_ubyte),
                 ctypes.POINTER(ctypes.c_ubyte),
             ]
             lib.motmux_pending.restype = ctypes.c_int
@@ -119,7 +121,7 @@ class StreamMux:
     """
 
     def __init__(self, n_streams: int, max_dets: int, emb_dim: int = 0,
-                 queue_depth: int = 4):
+                 queue_depth: int = 4, crop_hw: tuple | None = None):
         lib = _load()
         if lib is None:
             raise RuntimeError("native mux unavailable")
@@ -128,8 +130,13 @@ class StreamMux:
         self.max_dets = int(max_dets)
         self.emb_dim = int(emb_dim)
         self.queue_depth = int(queue_depth)
+        self.crop_hw = tuple(int(x) for x in crop_hw) if crop_hw else None
+        crop_bytes = (
+            self.crop_hw[0] * self.crop_hw[1] * 3 if self.crop_hw else 0
+        )
         self._h = lib.motmux_create(
-            self.n_streams, self.max_dets, self.emb_dim, self.queue_depth
+            self.n_streams, self.max_dets, self.emb_dim, self.queue_depth,
+            crop_bytes,
         )
         if not self._h:
             raise RuntimeError("motmux_create failed")
@@ -140,6 +147,10 @@ class StreamMux:
         self._embs = np.zeros((S, N, max(D, 1)), np.float32)
         self._warps = np.zeros((S, 2, 3), np.float32)
         self._present = np.zeros((S,), np.uint8)
+        self._crops = (
+            np.zeros((S, N) + self.crop_hw + (3,), np.uint8)
+            if self.crop_hw else None
+        )
 
     def close(self):
         if getattr(self, "_h", None):
@@ -164,10 +175,12 @@ class StreamMux:
         if self._lib.motmux_detach(self._h, int(slot)) != 0:
             raise ValueError(f"slot {slot} is not attached")
 
-    def submit(self, slot: int, dets, embs=None, warp=None) -> int:
+    def submit(self, slot: int, dets, embs=None, warp=None,
+               crops=None) -> int:
         """Queue one frame; returns the queue length after the submit.
         warp: optional (2, 3) camera warp for this frame (identity when
-        omitted)."""
+        omitted). crops: (n, Hc, Wc, 3) uint8 BGR detection crops —
+        required shape when the mux was built with crop_hw."""
         dets = np.ascontiguousarray(dets, np.float32).reshape(-1, DET_COLS)
         n = dets.shape[0]
         if n == 0:  # keep a valid pointer for the native call
@@ -186,8 +199,15 @@ class StreamMux:
             if warp.shape != (2, 3):
                 raise ValueError(f"warp must be (2, 3), got {warp.shape}")
             wptr = _fptr(warp)
+        cptr = None
+        if self.crop_hw is not None and crops is not None:
+            crops = np.ascontiguousarray(crops, np.uint8)
+            want = (n,) + self.crop_hw + (3,)
+            if crops.shape != want:
+                raise ValueError(f"crops must be {want}, got {crops.shape}")
+            cptr = _bptr(crops)
         r = self._lib.motmux_submit(
-            self._h, int(slot), _fptr(dets), n, eptr, wptr
+            self._h, int(slot), _fptr(dets), n, eptr, wptr, cptr
         )
         if r < 0:
             raise ValueError(f"slot {slot} is not attached")
@@ -197,20 +217,22 @@ class StreamMux:
         """Pop one frame per live slot into the reusable batch buffers.
 
         Returns (dets (S,N,6) f32, mask (S,N) bool, embs (S,N,D) f32 or
-        None, warps (S,2,3) f32, present (S,) bool). Absent slots get
-        the identity warp. Buffers are OVERWRITTEN by the next assemble
-        — consumers must copy (device transfer counts).
+        None, warps (S,2,3) f32, present (S,) bool, crops
+        (S,N,Hc,Wc,3) u8 or None). Absent slots get the identity warp.
+        Buffers are OVERWRITTEN by the next assemble — consumers must
+        copy (device transfer counts).
         """
         r = self._lib.motmux_assemble(
             self._h, _fptr(self._dets), _bptr(self._mask),
             _fptr(self._embs), _fptr(self._warps), _bptr(self._present),
+            _bptr(self._crops) if self._crops is not None else None,
         )
         if r < 0:
             raise RuntimeError("motmux_assemble failed")
         embs = self._embs if self.emb_dim > 0 else None
         return (
             self._dets, self._mask.astype(bool), embs, self._warps,
-            self._present.astype(bool),
+            self._present.astype(bool), self._crops,
         )
 
     def pending(self, slot: int) -> int:
@@ -229,11 +251,12 @@ class PyStreamMux:
     """Pure-Python fallback with the exact same contract as StreamMux."""
 
     def __init__(self, n_streams: int, max_dets: int, emb_dim: int = 0,
-                 queue_depth: int = 4):
+                 queue_depth: int = 4, crop_hw: tuple | None = None):
         self.n_streams = int(n_streams)
         self.max_dets = int(max_dets)
         self.emb_dim = int(emb_dim)
         self.queue_depth = int(queue_depth)
+        self.crop_hw = tuple(int(x) for x in crop_hw) if crop_hw else None
         self._lock = threading.Lock()
         self._attached = [False] * self.n_streams
         self._gen = [0] * self.n_streams
@@ -248,6 +271,10 @@ class PyStreamMux:
         self._embs = np.zeros((S, N, max(D, 1)), np.float32)
         self._warps = np.zeros((S, 2, 3), np.float32)
         self._present = np.zeros((S,), bool)
+        self._crops = (
+            np.zeros((S, N) + self.crop_hw + (3,), np.uint8)
+            if self.crop_hw else None
+        )
 
     def close(self):
         pass
@@ -271,7 +298,8 @@ class PyStreamMux:
             self._attached[slot] = False
             self._q[slot].clear()
 
-    def submit(self, slot: int, dets, embs=None, warp=None) -> int:
+    def submit(self, slot: int, dets, embs=None, warp=None,
+               crops=None) -> int:
         dets = np.ascontiguousarray(dets, np.float32).reshape(-1, DET_COLS)
         n = min(dets.shape[0], self.max_dets)
         e = None
@@ -288,6 +316,13 @@ class PyStreamMux:
             if warp.shape != (2, 3):
                 raise ValueError(f"warp must be (2, 3), got {warp.shape}")
             warp = warp.copy()
+        c = None
+        if self.crop_hw is not None and crops is not None:
+            crops = np.ascontiguousarray(crops, np.uint8)
+            want = (dets.shape[0],) + self.crop_hw + (3,)
+            if crops.shape != want:
+                raise ValueError(f"crops must be {want}, got {crops.shape}")
+            c = crops[:n].copy()
         with self._lock:
             if not (0 <= slot < self.n_streams) or not self._attached[slot]:
                 raise ValueError(f"slot {slot} is not attached")
@@ -295,7 +330,7 @@ class PyStreamMux:
             if len(q) == self.queue_depth:
                 q.popleft()
                 self._dropped += 1
-            q.append((dets[:n].copy(), e, warp))
+            q.append((dets[:n].copy(), e, warp, c))
             self._submitted += 1
             return len(q)
 
@@ -309,13 +344,16 @@ class PyStreamMux:
                 self._warps[s] = ident
                 if not self._attached[s] or not self._q[s]:
                     continue
-                d, e, w = self._q[s].popleft()
+                d, e, w, c = self._q[s].popleft()
                 n = d.shape[0]
                 self._dets[s, :n] = d
                 self._dets[s, n:] = 0.0
                 if D > 0:
                     self._embs[s, :n] = 0.0 if e is None else e
                     self._embs[s, n:] = 0.0
+                if self._crops is not None:
+                    self._crops[s, :n] = 0 if c is None else c
+                    self._crops[s, n:] = 0
                 if w is not None:
                     self._warps[s] = w
                 self._mask[s, :n] = True
@@ -323,7 +361,7 @@ class PyStreamMux:
             self._assembled += 1
         embs = self._embs if D > 0 else None
         return (self._dets, self._mask.copy(), embs, self._warps,
-                self._present.copy())
+                self._present.copy(), self._crops)
 
     def pending(self, slot: int) -> int:
         with self._lock:
@@ -342,8 +380,9 @@ class PyStreamMux:
 
 
 def create_mux(n_streams: int, max_dets: int, emb_dim: int = 0,
-               queue_depth: int = 4, prefer_native: bool = True):
+               queue_depth: int = 4, prefer_native: bool = True,
+               crop_hw: tuple | None = None):
     """Native mux when the toolchain allows, PyStreamMux otherwise."""
     if prefer_native and native_available():
-        return StreamMux(n_streams, max_dets, emb_dim, queue_depth)
-    return PyStreamMux(n_streams, max_dets, emb_dim, queue_depth)
+        return StreamMux(n_streams, max_dets, emb_dim, queue_depth, crop_hw)
+    return PyStreamMux(n_streams, max_dets, emb_dim, queue_depth, crop_hw)

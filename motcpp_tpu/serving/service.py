@@ -67,7 +67,8 @@ class ServedBatch:
 
 
 def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
-                      with_embs: bool, with_warps: bool = False):
+                      with_embs: bool, with_warps: bool = False,
+                      embed_fn: Callable | None = None):
     """Build the present/reset-gated batched step.
 
     Returns ``svc(states, dets, masks, present, reset[, embs][, warps])
@@ -75,6 +76,13 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
     axis. ``reset`` slots are re-initialized BEFORE the step (fresh
     attach); ``~present`` slots keep their previous state AFTER it
     (absent stream — the step still executes, its writes are discarded).
+
+    With ``embed_fn`` (appearance.reid.make_embed_fn) the embedding
+    input is raw uint8 crops (S, N, Hc, Wc, 3) and the ReID CNN runs
+    inside the same XLA program as the tracker step, batched over the
+    S*N crop set — live ReID at serving scale (the reference computes
+    features inside update() per stream on the host,
+    onnx_backend.cpp:110-223 via botsort.cpp:281).
     """
 
     vstep = jax.vmap(step_fn)
@@ -89,7 +97,31 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
         states = jax.tree_util.tree_map(
             lambda f, s: _sel(reset, f, s), fresh, states
         )
-        masks = masks & present[:, None]
+        # ingest conditioning: a serving boundary cannot trust its
+        # producers — non-finite detection rows are masked off (vs the
+        # reference's per-tracker NaN pruning of *states*, sort.cpp:
+        # 129-137, which happens a frame too late for a hostile inf
+        # confidence to be kept out of the emissions;
+        # tests/test_serving_abuse.py)
+        masks = masks & present[:, None] & jnp.isfinite(dets).all(-1)
+        if with_embs and embed_fn is None and len(extra):
+            e = extra[0]
+            e = jnp.where(
+                jnp.isfinite(e).all(-1, keepdims=True), e, 0.0
+            )
+            extra = (e,) + extra[1:]
+        if with_warps:
+            w = extra[-1]
+            ident = jnp.broadcast_to(
+                jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]], w.dtype), w.shape
+            )
+            w_ok = jnp.isfinite(w).all((-2, -1))[:, None, None]
+            extra = extra[:-1] + (jnp.where(w_ok, w, ident),)
+        if with_embs and embed_fn is not None:
+            crops = extra[0]
+            N = crops.shape[1]
+            e = embed_fn(crops.reshape((S * N,) + crops.shape[2:]))
+            extra = (e.reshape(S, N, -1),) + extra[1:]
         if with_embs and with_warps:
             new_states, (outs, out_masks) = vstep(
                 states, dets, masks, extra[0], extra[1]
@@ -107,7 +139,14 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
         merged = jax.tree_util.tree_map(
             lambda n, o: _sel(present, n, o), new_states, states
         )
-        out_masks = out_masks & present[:, None]
+        # emission guard: rows whose box went non-finite (e.g. a
+        # zero-area detection NaN-ing the XYAH aspect state — the
+        # reference's ByteTrack has no NaN pruning, bytetrack.cpp, and
+        # faithfully reproduces this) are masked out of the serving
+        # output; the track itself ages out via the normal lifecycle
+        out_masks = (
+            out_masks & present[:, None] & jnp.isfinite(outs).all(-1)
+        )
         return merged, (outs, out_masks)
 
     return svc
@@ -135,11 +174,24 @@ class TrackingService:
     def __init__(self, init_fn: Callable[[], Any], step_fn: Callable,
                  n_streams: int, max_dets: int = 32, emb_dim: int = 0,
                  queue_depth: int = 4, devices: list | None = None,
-                 prefer_native_mux: bool = True, with_warps: bool = False):
+                 prefer_native_mux: bool = True, with_warps: bool = False,
+                 crop_hw: tuple | None = None,
+                 embed_fn: Callable | None = None):
+        """crop_hw + embed_fn switch the service to LIVE ReID: producers
+        submit raw (n, Hc, Wc, 3) uint8 detection crops instead of
+        embeddings (the mux carries them natively), and the CNN runs
+        in-graph each tick. emb_dim must then be the embed feature
+        width (the tracker cfg's emb_dim)."""
         self.n_streams = int(n_streams)
         self.max_dets = int(max_dets)
         self.emb_dim = int(emb_dim)
         self.with_warps = bool(with_warps)
+        self.crop_hw = tuple(int(x) for x in crop_hw) if crop_hw else None
+        self._embed_fn = embed_fn
+        if (embed_fn is None) != (self.crop_hw is None):
+            raise ValueError("crop_hw and embed_fn go together")
+        if embed_fn is not None and self.emb_dim <= 0:
+            raise ValueError("live ReID needs emb_dim = feature width")
         self.devices = devices if devices is not None else jax.devices()
         n_dev = len(self.devices)
         if self.n_streams % n_dev != 0:
@@ -148,13 +200,16 @@ class TrackingService:
                 f"{n_dev} devices"
             )
         self.mux = create_mux(
-            self.n_streams, self.max_dets, self.emb_dim, queue_depth,
-            prefer_native=prefer_native_mux,
+            self.n_streams, self.max_dets,
+            # crops replace wire embeddings when live ReID is on
+            0 if embed_fn is not None else self.emb_dim,
+            queue_depth, prefer_native=prefer_native_mux,
+            crop_hw=self.crop_hw,
         )
         self._init_fn = init_fn
         svc = make_service_step(
             init_fn, step_fn, with_embs=emb_dim > 0,
-            with_warps=self.with_warps,
+            with_warps=self.with_warps, embed_fn=embed_fn,
         )
 
         if n_dev > 1:
@@ -230,12 +285,14 @@ class TrackingService:
         self.mux.detach(handle.slot)
 
     def submit(self, handle: StreamHandle, dets, embs=None,
-               warp=None) -> int:
+               warp=None, crops=None) -> int:
         """Queue one frame (thread-safe); returns the queue length.
         warp: optional (2, 3) camera warp for this frame — only applied
-        when the service was built with with_warps=True."""
+        when the service was built with with_warps=True. crops:
+        (n, Hc, Wc, 3) uint8 detection crops — the live-ReID input when
+        the service was built with crop_hw/embed_fn."""
         self._check(handle)
-        return self.mux.submit(handle.slot, dets, embs, warp)
+        return self.mux.submit(handle.slot, dets, embs, warp, crops)
 
     def pending(self, handle: StreamHandle) -> int:
         self._check(handle)
@@ -252,7 +309,7 @@ class TrackingService:
     # ------------------------------------------------------------------
     def step(self) -> ServedBatch:
         """Assemble one batch and run one tracker step over all slots."""
-        dets, mask, embs, warps, present = self.mux.assemble()
+        dets, mask, embs, warps, present, crops = self.mux.assemble()
         with self._lock:
             reset = self._reset.copy()
             self._reset[:] = False
@@ -262,7 +319,9 @@ class TrackingService:
             jnp.asarray(dets), jnp.asarray(mask),
             jnp.asarray(present), jnp.asarray(reset),
         ]
-        if self.emb_dim > 0:
+        if self._embed_fn is not None:
+            args.append(jnp.asarray(crops))
+        elif self.emb_dim > 0:
             args.append(jnp.asarray(embs))
         if self.with_warps:
             args.append(jnp.asarray(warps))

@@ -47,6 +47,7 @@ struct Slot {
   int count = 0;            // queued frames
   std::vector<float> dets;   // depth * N * 6
   std::vector<float> embs;   // depth * N * D (empty when D == 0)
+  std::vector<uint8_t> crops;  // depth * N * C (empty when C == 0)
   std::vector<float> warps;  // depth * 6 (identity when not supplied)
   std::vector<int> ndet;     // detections in each queued frame
   uint64_t submitted = 0;
@@ -55,6 +56,7 @@ struct Slot {
 
 struct Mux {
   int S, N, D, depth;
+  int C = 0;  // bytes per detection crop (Hc * Wc * 3); 0 = no crops leg
   std::unique_ptr<Slot[]> slots;
   std::mutex alloc_m;
   int next_probe = 0;  // round-robin attach cursor
@@ -68,19 +70,27 @@ Mux* as_mux(void* h) { return static_cast<Mux*>(h); }
 extern "C" {
 
 // Create a mux with S stream slots, N detection slots per frame,
-// embedding dim D (0 = no embeddings), and per-slot queue depth.
-void* motmux_create(int S, int N, int D, int depth) {
-  if (S <= 0 || N <= 0 || D < 0 || depth <= 0) return nullptr;
+// embedding dim D (0 = no embeddings), per-slot queue depth, and
+// crop_bytes per detection (Hc * Wc * 3 uint8 for the live-ReID crops
+// leg; 0 = no crops). The crops leg is how raw pixels reach the
+// in-graph ReID CNN at serving scale (the reference instead crops
+// inside update() on the host, reference: onnx_backend.cpp:110-223).
+void* motmux_create(int S, int N, int D, int depth, int crop_bytes) {
+  if (S <= 0 || N <= 0 || D < 0 || depth <= 0 || crop_bytes < 0)
+    return nullptr;
   auto* mux = new (std::nothrow) Mux();
   if (!mux) return nullptr;
   mux->S = S;
   mux->N = N;
   mux->D = D;
   mux->depth = depth;
+  mux->C = crop_bytes;
   mux->slots = std::make_unique<Slot[]>(S);
   for (int s = 0; s < S; ++s) {
     mux->slots[s].dets.resize(size_t(depth) * N * kDetCols);
     if (D > 0) mux->slots[s].embs.resize(size_t(depth) * N * D);
+    if (crop_bytes > 0)
+      mux->slots[s].crops.resize(size_t(depth) * N * crop_bytes);
     mux->slots[s].warps.resize(size_t(depth) * kWarpElems);
     mux->slots[s].ndet.resize(depth);
   }
@@ -138,7 +148,8 @@ long motmux_generation(void* h, int slot_id) {
 // freshness over completeness). Returns the number of queued frames
 // after the submit, or -1 for an invalid slot.
 int motmux_submit(void* h, int slot_id, const float* dets, int n,
-                  const float* embs, const float* warp) {
+                  const float* embs, const float* warp,
+                  const unsigned char* crops) {
   Mux* mux = as_mux(h);
   if (slot_id < 0 || slot_id >= mux->S || n < 0 || !dets) return -1;
   Slot& slot = mux->slots[slot_id];
@@ -161,6 +172,14 @@ int motmux_submit(void* h, int slot_id, const float* dets, int n,
       std::memset(dst, 0, size_t(n) * mux->D * sizeof(float));
     }
   }
+  if (mux->C > 0) {
+    unsigned char* dst = slot.crops.data() + size_t(pos) * mux->N * mux->C;
+    if (crops) {
+      std::memcpy(dst, crops, size_t(n) * mux->C);
+    } else {
+      std::memset(dst, 0, size_t(n) * mux->C);
+    }
+  }
   {
     static const float kIdentity[kWarpElems] = {1, 0, 0, 0, 1, 0};
     std::memcpy(slot.warps.data() + size_t(pos) * kWarpElems,
@@ -180,11 +199,12 @@ int motmux_submit(void* h, int slot_id, const float* dets, int n,
 // number of present streams.
 int motmux_assemble(void* h, float* dets_out, unsigned char* mask_out,
                     float* embs_out, float* warps_out,
-                    unsigned char* present_out) {
+                    unsigned char* present_out, unsigned char* crops_out) {
   Mux* mux = as_mux(h);
   if (!dets_out || !mask_out || !present_out) return -1;
   if (mux->D > 0 && !embs_out) return -1;
-  const int N = mux->N, D = mux->D;
+  if (mux->C > 0 && !crops_out) return -1;
+  const int N = mux->N, D = mux->D, C = mux->C;
   static const float kIdentity[kWarpElems] = {1, 0, 0, 0, 1, 0};
   int n_present = 0;
   for (int s = 0; s < mux->S; ++s) {
@@ -192,6 +212,7 @@ int motmux_assemble(void* h, float* dets_out, unsigned char* mask_out,
     float* drow = dets_out + size_t(s) * N * kDetCols;
     unsigned char* mrow = mask_out + size_t(s) * N;
     float* erow = D > 0 ? embs_out + size_t(s) * N * D : nullptr;
+    unsigned char* crow = C > 0 ? crops_out + size_t(s) * N * C : nullptr;
     float* wrow = warps_out ? warps_out + size_t(s) * kWarpElems : nullptr;
     std::lock_guard<std::mutex> sg(slot.m);
     if (!slot.attached || slot.count == 0) {
@@ -210,6 +231,11 @@ int motmux_assemble(void* h, float* dets_out, unsigned char* mask_out,
       std::memcpy(erow, slot.embs.data() + size_t(pos) * N * D,
                   size_t(n) * D * sizeof(float));
       std::memset(erow + size_t(n) * D, 0, size_t(N - n) * D * sizeof(float));
+    }
+    if (C > 0) {
+      std::memcpy(crow, slot.crops.data() + size_t(pos) * N * C,
+                  size_t(n) * C);
+      std::memset(crow + size_t(n) * C, 0, size_t(N - n) * C);
     }
     if (wrow) {
       std::memcpy(wrow, slot.warps.data() + size_t(pos) * kWarpElems,

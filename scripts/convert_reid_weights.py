@@ -29,6 +29,12 @@ def main(argv=None):
     src, dst = argv[0], argv[1]
     variant = argv[2] if len(argv) > 2 else "x1_0"
 
+    # conversion is pure host work — don't wait on a (possibly busy)
+    # TPU tunnel for what is a tensor-name remapping job
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from motcpp_tpu.appearance.osnet import (
         init_params,
         load_torch_weights,

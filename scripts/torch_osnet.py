@@ -181,17 +181,93 @@ def osnet_x0_25(**kw):
 
 
 def randomize_(model: OSNet, seed: int = 0) -> OSNet:
-    """Randomize ALL buffers including BN running stats (so conversion
-    tests catch batch_stats mapping errors, not just params)."""
+    """Randomize ALL tensors including BN running stats (so conversion
+    tests catch batch_stats mapping errors, not just params) —
+    VARIANCE-PRESERVING, so the network stays input-discriminative.
+
+    The first fixture used N(0, 0.05) for every parameter, which set
+    every BN gamma to ~0.05: 20+ stacked BN layers attenuated the
+    input-dependent signal by 0.05^depth to ~1e-10, leaving only the
+    constant beta terms — all crops mapped to the SAME embedding
+    (cosine 1.0) and the tracking golden never exercised appearance
+    association. Kaiming-scaled convs + gamma ~ U(0.8, 1.2) keep
+    activation variance alive through depth; embedding discrimination
+    is asserted in tests/test_reid_fixture.py.
+    """
     gen = torch.Generator().manual_seed(seed)
     with torch.no_grad():
-        for p in model.parameters():
-            p.normal_(0.0, 0.05, generator=gen)
+        for name, p in model.named_parameters():
+            if p.dim() >= 2:  # conv / linear weights: kaiming-scaled
+                fan_in = p[0].numel()
+                p.normal_(0.0, (2.0 / max(fan_in, 1)) ** 0.5,
+                          generator=gen)
+            elif name.endswith(".weight"):  # BN gamma: near 1
+                p.uniform_(0.8, 1.2, generator=gen)
+            else:  # BN beta / biases: small
+                p.normal_(0.0, 0.1, generator=gen)
         for name, b in model.named_buffers():
             if name.endswith("running_mean"):
                 b.normal_(0.0, 0.3, generator=gen)
             elif name.endswith("running_var"):
                 b.uniform_(0.5, 2.0, generator=gen)
+    return model
+
+
+def calibrate_(model: OSNet, seed: int = 1, steps: int = 12,
+               batch: int = 16, hw=(256, 128)) -> OSNet:
+    """Adapt BN running stats to the network's ACTUAL activation
+    statistics via train-mode forward passes (what training does for
+    real checkpoints). Without this, eval-mode BN leaves a per-layer
+    common mode that swamps the input-dependent signal over depth —
+    every crop then maps to cosine-1.0 embeddings and the fixture can't
+    exercise appearance association."""
+    gen = torch.Generator().manual_seed(seed)
+    model.train()
+    with torch.no_grad():
+        for _ in range(steps):
+            x = torch.rand((batch, 3, *hw), generator=gen) * 2.0 - 1.0
+            model(x)
+    model.eval()
+    return model
+
+
+def pretrain_(model: OSNet, seed: int = 2, steps: int = 50,
+              n_ids: int = 8, hw=(256, 128)) -> OSNet:
+    """Brief deterministic contrastive pretrain on synthetic identity
+    textures, so the fixture's embeddings genuinely DISCRIMINATE (two
+    views of the same texture land closer than different textures).
+
+    An untrained CNN maps all natural-statistics crops to near-cosine-1
+    embeddings (margins ~1e-4, ordering unstable), which would leave
+    the tracking golden's appearance association running on numerical
+    noise. ~50 InfoNCE steps on 8 identities are enough to open the
+    margin to >0.1 while keeping generation under a couple of CPU
+    minutes; everything is generator-seeded for reproducibility.
+    """
+    gen = torch.Generator().manual_seed(seed)
+    ids = torch.rand((n_ids, 3, 8, 4), generator=gen)  # coarse textures
+    opt = torch.optim.SGD(model.parameters(), lr=0.05, momentum=0.9)
+    model.train()
+    for _ in range(steps):
+        views = []
+        for _v in range(2):
+            x = torch.nn.functional.interpolate(
+                ids, size=hw, mode="bilinear", align_corners=False
+            )
+            x = x + 0.1 * torch.randn(x.shape, generator=gen)
+            views.append(x)
+        x = torch.cat(views, 0)  # (2*n_ids, 3, H, W)
+        f = model(x)
+        f = torch.nn.functional.normalize(f, dim=1)
+        logits = f @ f.t() / 0.2
+        logits.fill_diagonal_(-1e9)
+        target = torch.arange(2 * n_ids)
+        target = (target + n_ids) % (2 * n_ids)  # positive = other view
+        loss = torch.nn.functional.cross_entropy(logits, target)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    model.eval()
     return model
 
 
@@ -204,6 +280,9 @@ def main(argv=None):
     variant = argv[1] if len(argv) > 1 else "x1_0"
     model = {"x1_0": osnet_x1_0, "x0_25": osnet_x0_25}[variant]()
     randomize_(model)
+    calibrate_(model)
+    if "--no-pretrain" not in argv:
+        pretrain_(model)
     torch.save(model.state_dict(), out)
     print(f"wrote {out} ({sum(p.numel() for p in model.parameters())} params)")
     return 0

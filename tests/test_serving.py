@@ -82,7 +82,7 @@ def test_mux_native_matches_python():
                 q = mux.submit(slot, _frame(rng, int(n)))
                 log.append(("submit", slot, q))
             elif op == "assemble":
-                dets, mask, _, warps, present = mux.assemble()
+                dets, mask, _, warps, present, _ = mux.assemble()
                 log.append(
                     ("assemble", dets.copy().tobytes(), mask.tobytes(),
                      warps.copy().tobytes(), present.tobytes())
@@ -106,12 +106,12 @@ def test_mux_drop_oldest(mux_idx):
     assert mux.submit(slot, f[1]) == 2
     assert mux.submit(slot, f[2]) == 2  # overflow: frame 0 evicted
     assert mux.stats()["dropped"] == 1
-    dets, mask, _, _, present = mux.assemble()
+    dets, mask, _, _, present, _ = mux.assemble()
     assert present[0] and mask[0, 0] and not mask[0, 1]
     assert dets[0, 0, 0] == 1.0  # oldest surviving frame
-    dets, _, _, _, _ = mux.assemble()
+    dets, _, _, _, _, _ = mux.assemble()
     assert dets[0, 0, 0] == 2.0
-    _, _, _, _, present = mux.assemble()
+    _, _, _, _, present, _ = mux.assemble()
     assert not present[0]  # queue drained
 
 
@@ -125,7 +125,7 @@ def test_mux_truncates_and_embeds(mux_idx):
     rng = np.random.default_rng(0)
     dets, embs = _frame(rng, 5, emb_dim=4)  # 5 rows > N=3
     mux.submit(slot, dets, embs)
-    d, m, e, _, present = mux.assemble()
+    d, m, e, _, present, _ = mux.assemble()
     assert present[slot] and m[slot].sum() == 3
     np.testing.assert_array_equal(d[slot, :3], dets[:3])
     np.testing.assert_array_equal(e[slot, :3], embs[:3])
@@ -363,13 +363,13 @@ def test_mux_warp_carried_per_frame(mux_idx):
     w1 = np.asarray([[1, 0, 5], [0, 1, -3]], np.float32)
     mux.submit(slot, _frame(np.random.default_rng(0), 2), warp=w1)
     mux.submit(slot, _frame(np.random.default_rng(1), 2))  # no warp
-    _, _, _, warps, present = mux.assemble()
+    _, _, _, warps, present, _ = mux.assemble()
     assert present[slot]
     np.testing.assert_array_equal(warps[slot], w1)
     # absent slots (and warp-less frames) get the identity
     ident = np.asarray([[1, 0, 0], [0, 1, 0]], np.float32)
     np.testing.assert_array_equal(warps[1 - slot], ident)
-    _, _, _, warps, _ = mux.assemble()
+    _, _, _, warps, _, _ = mux.assemble()
     np.testing.assert_array_equal(warps[slot], ident)
     with pytest.raises(ValueError):
         mux.submit(slot, _frame(np.random.default_rng(2), 1),
@@ -531,3 +531,103 @@ def test_service_states_property_survives_step():
     # every leaf of the snapshot is still readable after the step
     leaves = __import__("jax").tree_util.tree_leaves(snap)
     assert all(_np.asarray(x) is not None for x in leaves)
+
+
+# ---------------------------------------------------------------------------
+# live ReID (crops leg)
+# ---------------------------------------------------------------------------
+
+
+def _crops_mux_pair(S=3, N=4, hw=(16, 8), depth=3):
+    muxes = [PyStreamMux(S, N, 0, depth, crop_hw=hw)]
+    if native_available():
+        from motcpp_tpu.serving import StreamMux
+
+        muxes.append(StreamMux(S, N, 0, depth, crop_hw=hw))
+    return muxes
+
+
+def test_mux_crops_roundtrip():
+    """Crops ride the queue exactly like dets: truncation at N, zero
+    fill for short frames, native == python byte parity."""
+    rng = np.random.default_rng(5)
+    hw = (16, 8)
+    outs = []
+    for mux in _crops_mux_pair(hw=hw):
+        rngi = np.random.default_rng(5)
+        s0, _ = mux.attach()
+        for n in (2, 6, 0):  # 6 > N=4 truncates
+            dets = _frame(rngi, n) if n else np.zeros((0, 6), np.float32)
+            crops = rngi.integers(0, 255, (n,) + hw + (3,)).astype(np.uint8)
+            mux.submit(s0, dets, crops=crops)
+        grabbed = []
+        for _ in range(3):
+            d, m, e, w, p, c = mux.assemble()
+            grabbed.append((d.copy(), m.copy(), c.copy()))
+        outs.append(grabbed)
+    ref = outs[0]
+    assert ref[0][1][0].sum() == 2 and ref[1][1][0].sum() == 4
+    # short frame zero-fills the tail crops
+    assert (ref[0][2][0, 2:] == 0).all()
+    assert (ref[0][2][0, :2] != 0).any()
+    for other in outs[1:]:
+        for (d0, m0, c0), (d1, m1, c1) in zip(ref, other):
+            np.testing.assert_array_equal(m0, m1)
+            np.testing.assert_array_equal(c0, c1)
+
+
+def _embed_pair(hw=(32, 16), dim=16):
+    import jax
+
+    from motcpp_tpu.appearance.osnet import init_params, osnet_x0_25
+    from motcpp_tpu.appearance.reid import make_embed_fn
+
+    model = osnet_x0_25(feature_dim=dim)
+    variables = init_params(model, hw, seed=0)
+    return make_embed_fn(model, variables), dim
+
+
+@pytest.mark.parametrize("n_dev", [1, 2])
+def test_service_live_reid_matches_precomputed(n_dev):
+    """Crops-in service (in-graph OSNet) emits bit-for-bit what the
+    precomputed-embeddings service emits when fed the same features —
+    the live-ReID serving path is exact, single and sharded."""
+    import jax
+
+    hw, dim = (32, 16), 16
+    embed, _ = _embed_pair(hw, dim)
+    rng = np.random.default_rng(11)
+    frames = []
+    for t in range(6):
+        dets = _frame(rng, 3)
+        crops = rng.integers(0, 255, (3,) + hw + (3,)).astype(np.uint8)
+        frames.append((dets, crops))
+
+    def mk(live, devs):
+        from motcpp_tpu.models.botsort import BotSortConfig, make_botsort
+
+        cfg = BotSortConfig(max_tracks=16, max_dets=8, emb_dim=dim,
+                            with_reid=True)
+        init_fn, step_fn = make_botsort(cfg)
+        kw = dict(crop_hw=hw, embed_fn=embed) if live else {}
+        return TrackingService(
+            init_fn, step_fn, n_streams=2 * max(n_dev, 1), max_dets=8,
+            emb_dim=dim, devices=jax.devices()[:devs], **kw
+        )
+
+    import jax.numpy as jnp
+
+    jembed = jax.jit(embed)
+
+    live = mk(True, n_dev)
+    pre = mk(False, 1)
+    hl = live.attach()
+    hp = pre.attach()
+    for dets, crops in frames:
+        live.submit(hl, dets, crops=crops)
+        e = np.asarray(jembed(jnp.asarray(crops)))
+        pre.submit(hp, dets, embs=e)
+        rl = live.step().tracks_for(hl)
+        rp = pre.step().tracks_for(hp)
+        np.testing.assert_array_equal(rl, rp)
+    assert rl.shape[0] > 0  # the scenario actually emits tracks
