@@ -381,13 +381,23 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     # persistent compilation cache: the all-9 default re-runs the same
     # (S, T, K, N) shapes every invocation — cached compiles turn a
-    # cold ~10-minute scoreboard into ~3 minutes
+    # cold ~10-minute scoreboard into seconds per row
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/motcpp_jax_cache")
+    # a bench killed mid-compile can leave partial entries that WEDGE
+    # later cache lookups on the axon platform (observed round 3: a
+    # poisoned dir hung every capacity-row compile >560s; a fresh dir
+    # compiled in 121s and hit in 2s) — sweep leftovers at startup
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           "/tmp/motcpp_jax_cache"),
-        )
+        from pathlib import Path
+
+        for p in Path(cache_dir).glob("*"):
+            if p.suffix == ".tmp" or p.stat().st_size == 0:
+                p.unlink(missing_ok=True)
+    except OSError:
+        pass
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception:
         pass  # older jax without the persistent cache
 
