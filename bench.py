@@ -154,6 +154,33 @@ def build_tracker_fns(tracker: str, args):
     return getattr(mod, make_name)(cfg)
 
 
+def _time_rollout(runner, args, label, run_args, run_kw):
+    """One timing protocol for every row: compile+warmup rollout, then
+    args.repeats steady-state rollouts.
+
+    Returns (dt_per_rollout_s, emissions). NOTE: materializes a scalar
+    after each rollout, not just block_until_ready — under the axon
+    remote platform an aborted computation "completes" instantly and
+    only raises when values are fetched, which would silently produce
+    nonsense timings otherwise."""
+    t0 = time.time()
+    out = runner.run(*run_args, **run_kw)
+    emissions = int(np.asarray(out[1]).sum())
+    compile_s = time.time() - t0
+    print(
+        f"# [{label}] compile+first rollout: {compile_s:.1f}s "
+        f"({emissions} track emissions)",
+        file=sys.stderr,
+    )
+    if emissions == 0:
+        print("# WARNING: no tracks emitted — check inputs", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(args.repeats):
+        out = runner.run(*run_args, **run_kw)
+        float(np.asarray(out[0][-1]).ravel()[0])  # force + validate
+    return (time.time() - t0) / args.repeats, emissions
+
+
 def bench_one(tracker: str, args, overrides: dict | None = None,
               metric_suffix: str = "") -> dict:
     """Benchmark one tracker; returns the JSON record.
@@ -210,28 +237,10 @@ def bench_one(tracker: str, args, overrides: dict | None = None,
         w[..., :, 2] = txy
         run_kw["warps"] = jnp.asarray(w)
 
-    # compile + warm up. NOTE: materialize a scalar, not just
-    # block_until_ready — under the axon remote platform an aborted
-    # computation "completes" instantly and only raises when values are
-    # fetched, which silently produces nonsense timings otherwise.
-    t0 = time.time()
-    out = runner.run(dets_j, masks_j, **run_kw)
-    emissions = int(np.asarray(out[1]).sum())
-    compile_s = time.time() - t0
-    print(
-        f"# [{tracker}] compile+first rollout: {compile_s:.1f}s "
-        f"({emissions} track emissions)",
-        file=sys.stderr,
+    # steady state reuses carry state — continuous streaming
+    dt, _ = _time_rollout(
+        runner, args, f"{tracker}{metric_suffix}", (dets_j, masks_j), run_kw
     )
-    if emissions == 0:
-        print("# WARNING: no tracks emitted — check inputs", file=sys.stderr)
-
-    # steady state (reuse carry state — continuous streaming)
-    t0 = time.time()
-    for _ in range(args.repeats):
-        out = runner.run(dets_j, masks_j, **run_kw)
-        float(np.asarray(out[0][-1]).ravel()[0])  # force + validate
-    dt = (time.time() - t0) / args.repeats
 
     frames_tracked = S * T
     agg_fps = frames_tracked / dt
@@ -303,19 +312,10 @@ def bench_livereid(tracker: str, args) -> dict:
     masks_j = jnp.asarray(masks)
     crops_j = jnp.asarray(crops)
 
-    t0 = time.time()
-    out = runner.run(dets_j, masks_j, embs=crops_j)
-    emissions = int(np.asarray(out[1]).sum())
-    print(
-        f"# [{tracker}_livereid] compile+first rollout: "
-        f"{time.time()-t0:.1f}s ({emissions} track emissions)",
-        file=sys.stderr,
+    dt, _ = _time_rollout(
+        runner, args, f"{tracker}_livereid", (dets_j, masks_j),
+        {"embs": crops_j},
     )
-    t0 = time.time()
-    for _ in range(args.repeats):
-        out = runner.run(dets_j, masks_j, embs=crops_j)
-        float(np.asarray(out[0][-1]).ravel()[0])
-    dt = (time.time() - t0) / args.repeats
     agg_fps = S * T / dt
     streams_at_30 = agg_fps / 30.0
     crops_per_s = S * T * N / dt
@@ -388,14 +388,20 @@ def main():
     # later cache lookups on the axon platform (observed round 3: a
     # poisoned dir hung every capacity-row compile >560s; a fresh dir
     # compiled in 121s and hit in 2s) — sweep leftovers at startup
-    try:
-        from pathlib import Path
+    from pathlib import Path
 
-        for p in Path(cache_dir).glob("*"):
+    try:
+        entries = list(Path(cache_dir).glob("*"))
+    except OSError:
+        entries = []
+    for p in entries:
+        # per-entry guard: a concurrent bench renaming its own entry
+        # away mid-sweep must not abort the rest of the sweep
+        try:
             if p.suffix == ".tmp" or p.stat().st_size == 0:
                 p.unlink(missing_ok=True)
-    except OSError:
-        pass
+        except OSError:
+            pass
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception:

@@ -110,6 +110,30 @@ def normalize_features(feats):
     return jnp.where(n > 1e-6, feats / jnp.where(n > 1e-6, n, 1.0), feats)
 
 
+def _check_compute_dtype(compute_dtype: str):
+    if compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"compute_dtype must be float32 or bfloat16, "
+            f"got {compute_dtype!r}"
+        )
+    return jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+
+def _cast_variables(variables, compute_dtype: str):
+    """Cast float leaves (params AND batch_stats) to the compute dtype.
+
+    One cast rule shared by the host backend and the in-graph
+    make_embed_fn so the precomputed-embs and crops-in paths can never
+    diverge numerically."""
+    if compute_dtype != "bfloat16":
+        return variables
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        variables,
+    )
+
+
 class ReIDBackend:
     """Host-facing backend mirroring the reference contract.
 
@@ -155,20 +179,9 @@ class ReIDBackend:
             self.model = osnet_x1_0()
             self.variables = init_params(self.model, self.input_shape, seed)
 
-        if compute_dtype not in ("float32", "bfloat16"):
-            raise ValueError(
-                f"compute_dtype must be float32 or bfloat16, "
-                f"got {compute_dtype!r}"
-            )
+        cdt = _check_compute_dtype(compute_dtype)
         self.compute_dtype = compute_dtype
-        if compute_dtype == "bfloat16":
-            self.variables = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                self.variables,
-            )
-
-        cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self.variables = _cast_variables(self.variables, compute_dtype)
 
         @jax.jit
         def _forward(variables, crops):
@@ -228,17 +241,10 @@ def make_embed_fn(model, variables, norm=(IMAGENET_MEAN, IMAGENET_STD),
     the convs ride the MXU at 16-bit rate (cosine parity >=0.995 pinned
     in tests/test_appearance.py).
     """
-    if compute_dtype not in ("float32", "bfloat16"):
-        raise ValueError(f"bad compute_dtype {compute_dtype!r}")
-    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    cdt = _check_compute_dtype(compute_dtype)
     mean = jnp.asarray(norm[0], jnp.float32)
     std = jnp.asarray(norm[1], jnp.float32)
-    if compute_dtype == "bfloat16":
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a,
-            variables,
-        )
+    variables = _cast_variables(variables, compute_dtype)
 
     def embed(crops):
         x = crops.astype(jnp.float32)[..., ::-1] / 255.0  # BGR -> RGB

@@ -221,8 +221,12 @@ class MultiStreamRunner:
     @property
     def states(self):
         """Current carry state pytree (for checkpointing), or None if
-        no rollout has run yet."""
-        return self._states
+        no rollout has run yet. Returns a copy: the rollout donates its
+        state argument, so the live carry buffers are deleted by the
+        next run() — a snapshot must own its memory to stay valid."""
+        if self._states is None:
+            return None
+        return jax.tree_util.tree_map(jnp.copy, self._states)
 
     def reset(self):
         self._states = None

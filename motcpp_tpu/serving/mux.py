@@ -33,6 +33,39 @@ _tried = False
 
 DET_COLS = 6
 
+# must match motmux_abi_version() in native/motcpp_mux.cpp — a stale
+# .so that passes the mtime check (mtime-preserving deploys) would be
+# called through mismatched ctypes signatures and silently drop args
+_ABI_VERSION = 2
+
+
+def _build() -> None:
+    # Build to a per-process temp path, then atomically rename:
+    # concurrent processes racing g++ into the same output would dlopen
+    # a half-written .so and latch the native mux off for the process.
+    tmp = _SO.with_suffix(f".so.tmp.{os.getpid()}")
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             str(_SRC), "-o", str(tmp)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        os.replace(tmp, _SO)
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def _abi_ok(lib) -> bool:
+    try:
+        fn = lib.motmux_abi_version
+    except AttributeError:  # pre-versioning build
+        return False
+    fn.restype = ctypes.c_int
+    fn.argtypes = []
+    return fn() == _ABI_VERSION
+
 
 def _load():
     global _lib, _tried
@@ -42,23 +75,17 @@ def _load():
         _tried = True
         try:
             if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-                # Build to a per-process temp path, then atomically
-                # rename: concurrent processes racing g++ into the same
-                # output would dlopen a half-written .so and latch the
-                # native mux off for the whole process.
-                tmp = _SO.with_suffix(f".so.tmp.{os.getpid()}")
-                try:
-                    subprocess.run(
-                        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                         str(_SRC), "-o", str(tmp)],
-                        check=True,
-                        capture_output=True,
-                        timeout=120,
-                    )
-                    os.replace(tmp, _SO)
-                finally:
-                    tmp.unlink(missing_ok=True)
+                _build()
             lib = ctypes.CDLL(str(_SO))
+            if not _abi_ok(lib):
+                # stale binary with a current mtime — rebuild once from
+                # the in-tree source (os.replace gives a new inode, so
+                # the fresh CDLL below maps the new library)
+                _build()
+                lib = ctypes.CDLL(str(_SO))
+                if not _abi_ok(lib):
+                    _lib = None
+                    return _lib
             lib.motmux_create.restype = ctypes.c_void_p
             lib.motmux_create.argtypes = [ctypes.c_int] * 5
             lib.motmux_destroy.argtypes = [ctypes.c_void_p]
@@ -200,12 +227,22 @@ class StreamMux:
                 raise ValueError(f"warp must be (2, 3), got {warp.shape}")
             wptr = _fptr(warp)
         cptr = None
-        if self.crop_hw is not None and crops is not None:
-            crops = np.ascontiguousarray(crops, np.uint8)
-            want = (n,) + self.crop_hw + (3,)
-            if crops.shape != want:
-                raise ValueError(f"crops must be {want}, got {crops.shape}")
-            cptr = _bptr(crops)
+        if self.crop_hw is not None:
+            if crops is None and n > 0:
+                # zero-filled crops would silently feed identical black
+                # images to the in-graph ReID CNN — fail loudly instead
+                raise ValueError(
+                    "mux was built with crop_hw="
+                    f"{self.crop_hw}: submit() requires crops of shape "
+                    f"({n}, {self.crop_hw[0]}, {self.crop_hw[1]}, 3)"
+                )
+            if crops is not None:
+                crops = np.ascontiguousarray(crops, np.uint8)
+                want = (n,) + self.crop_hw + (3,)
+                if crops.shape != want:
+                    raise ValueError(
+                        f"crops must be {want}, got {crops.shape}")
+                cptr = _bptr(crops)
         r = self._lib.motmux_submit(
             self._h, int(slot), _fptr(dets), n, eptr, wptr, cptr
         )
@@ -317,12 +354,21 @@ class PyStreamMux:
                 raise ValueError(f"warp must be (2, 3), got {warp.shape}")
             warp = warp.copy()
         c = None
-        if self.crop_hw is not None and crops is not None:
-            crops = np.ascontiguousarray(crops, np.uint8)
-            want = (dets.shape[0],) + self.crop_hw + (3,)
-            if crops.shape != want:
-                raise ValueError(f"crops must be {want}, got {crops.shape}")
-            c = crops[:n].copy()
+        if self.crop_hw is not None:
+            if crops is None and dets.shape[0] > 0:
+                raise ValueError(
+                    "mux was built with crop_hw="
+                    f"{self.crop_hw}: submit() requires crops of shape "
+                    f"({dets.shape[0]}, {self.crop_hw[0]}, "
+                    f"{self.crop_hw[1]}, 3)"
+                )
+            if crops is not None:
+                crops = np.ascontiguousarray(crops, np.uint8)
+                want = (dets.shape[0],) + self.crop_hw + (3,)
+                if crops.shape != want:
+                    raise ValueError(
+                        f"crops must be {want}, got {crops.shape}")
+                c = crops[:n].copy()
         with self._lock:
             if not (0 <= slot < self.n_streams) or not self._attached[slot]:
                 raise ValueError(f"slot {slot} is not attached")

@@ -69,6 +69,14 @@ Mux* as_mux(void* h) { return static_cast<Mux*>(h); }
 
 extern "C" {
 
+// Bumped on every exported-signature change (create grew crop_bytes and
+// submit/assemble grew crop pointers at v2). The Python loader refuses
+// a library whose version differs from its own expectation — a stale
+// .so that survives an mtime check (e.g. tar/rsync-deployed trees)
+// would otherwise be called through mismatched ctypes signatures and
+// silently drop arguments.
+int motmux_abi_version(void) { return 2; }
+
 // Create a mux with S stream slots, N detection slots per frame,
 // embedding dim D (0 = no embeddings), per-slot queue depth, and
 // crop_bytes per detection (Hc * Wc * 3 uint8 for the live-ReID crops

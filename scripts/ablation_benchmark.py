@@ -68,6 +68,11 @@ def run_scoreboard(n_frames=600, trackers=None, progress=print):
         identity_metrics,
     )
 
+    unknown = [t for t in (trackers or []) if t not in SCOREBOARD]
+    if unknown:  # fail fast, before the expensive scene build
+        raise SystemExit(
+            f"unknown tracker(s) {unknown}; valid: {sorted(SCOREBOARD)}"
+        )
     gt, dets, embs, warps = ablation_scene(n_frames=n_frames)
     img = np.zeros((1080, 1920, 3), np.uint8)
     results = {}

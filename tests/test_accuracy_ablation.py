@@ -52,6 +52,13 @@ def scoreboard():
     return _cache["r"]
 
 
+# the 600-frame 10-row scoreboard costs minutes of CPU; it runs by
+# default (it IS the accuracy evidence) but -m 'not slow' skips it for
+# quick iteration
+slow = pytest.mark.slow
+
+
+@slow
 @pytest.mark.parametrize("tracker", sorted(EXPECTED))
 def test_committed_scoreboard_reproduces(tracker):
     got = scoreboard()[tracker]
@@ -64,6 +71,7 @@ def test_committed_scoreboard_reproduces(tracker):
         )
 
 
+@slow
 def test_reference_band_orderings():
     """The reference's published MOT17-ablation orderings (BASELINE.md)
     hold on the ablation-scale scene."""
@@ -87,6 +95,7 @@ def test_reference_band_orderings():
     )
 
 
+@slow
 def test_no_warmup_collapse_at_scale():
     """StrongSORT (n_init=3) and UCMCTrack (Tentative birth) posted
     MT=0 on the 4/8-frame mini window; at 600 frames both must track

@@ -177,6 +177,23 @@ def test_run_with_caller_states_does_not_donate_them():
     np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
 
 
+def test_runner_states_property_survives_run():
+    """runner.states is documented checkpointable: a snapshot taken
+    before the next run() must stay readable (the rollout donates the
+    carry, so the property must hand out a copy — the same defect class
+    fixed for TrackingService.states in ADVICE r2)."""
+    cfg = SortConfig(min_hits=1, max_tracks=8, max_dets=4)
+    init_fn, step_fn = make_sort(cfg)
+    runner = MultiStreamRunner(init_fn, step_fn, n_streams=8)
+    dets, masks = _mini_inputs(T=2, S=8)
+    runner.run(dets, masks)
+    snap = runner.states
+    runner.run(dets, masks)  # donates the live carry
+    # every leaf of the snapshot must still be materializable
+    leaves = jax.tree_util.tree_map(np.asarray, snap)
+    assert jax.tree_util.tree_leaves(leaves)
+
+
 def test_mesh_metrics_aggregation_matches_unsharded():
     """psum/all_gather metric aggregation on the 8-device mesh must equal
     the plain unsharded reduction (SURVEY.md §2.8: collectives appear

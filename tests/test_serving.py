@@ -576,6 +576,32 @@ def test_mux_crops_roundtrip():
             np.testing.assert_array_equal(c0, c1)
 
 
+def test_mux_crops_required_when_crop_enabled():
+    """A crop_hw mux must REJECT a detection frame submitted without
+    crops: zero-filled crops would silently feed identical black images
+    to the in-graph ReID CNN and appearance association would degrade
+    to noise with no error (code-review r3)."""
+    rng = np.random.default_rng(7)
+    for mux in _crops_mux_pair():
+        s0, _ = mux.attach()
+        with pytest.raises(ValueError, match="crop"):
+            mux.submit(s0, _frame(rng, 2))
+        # empty frames are exempt (nothing to crop)
+        mux.submit(s0, np.zeros((0, 6), np.float32))
+
+
+def test_native_mux_abi_version_matches():
+    """The loaded native library must report the ABI version the ctypes
+    signatures were written for — a stale .so passing the mtime check
+    would otherwise be called with mismatched signatures."""
+    if not native_available():
+        pytest.skip("native mux unavailable")
+    from motcpp_tpu.serving import mux as mux_mod
+
+    lib = mux_mod._load()
+    assert lib.motmux_abi_version() == mux_mod._ABI_VERSION
+
+
 def _embed_pair(hw=(32, 16), dim=16):
     import jax
 
