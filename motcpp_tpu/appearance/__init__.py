@@ -8,6 +8,13 @@ leave the device between the tracker and the embedding.
 """
 
 from motcpp_tpu.appearance.reid import ReIDBackend
-from motcpp_tpu.appearance.osnet import OSNet, osnet_x1_0
+from motcpp_tpu.appearance.osnet import (
+    OSNet,
+    osnet_x0_25,
+    osnet_x0_5,
+    osnet_x0_75,
+    osnet_x1_0,
+)
 
-__all__ = ["ReIDBackend", "OSNet", "osnet_x1_0"]
+__all__ = ["ReIDBackend", "OSNet", "osnet_x1_0", "osnet_x0_75",
+           "osnet_x0_5", "osnet_x0_25"]

@@ -190,6 +190,14 @@ def osnet_x1_0(feature_dim: int = 512) -> OSNet:
     return OSNet(channels=(64, 256, 384, 512), feature_dim=feature_dim)
 
 
+def osnet_x0_75(feature_dim: int = 512) -> OSNet:
+    return OSNet(channels=(48, 192, 288, 384), feature_dim=feature_dim)
+
+
+def osnet_x0_5(feature_dim: int = 512) -> OSNet:
+    return OSNet(channels=(32, 128, 192, 256), feature_dim=feature_dim)
+
+
 def osnet_x0_25(feature_dim: int = 512) -> OSNet:
     return OSNet(channels=(16, 64, 96, 128), feature_dim=feature_dim)
 

@@ -12,7 +12,7 @@ a flat .npz with 'params/...' / 'batch_stats/...' keys, loadable via
 ReIDBackend(weights="out.npz") or osnet.load_npz_variables.
 
 Usage:
-    python scripts/convert_reid_weights.py <weights.pt> <out.npz> [x1_0|x0_25]
+    python scripts/convert_reid_weights.py <weights.pt> <out.npz> [x1_0|x0_75|x0_5|x0_25]
 """
 
 import sys
@@ -39,11 +39,14 @@ def main(argv=None):
         init_params,
         load_torch_weights,
         osnet_x0_25,
+        osnet_x0_5,
+        osnet_x0_75,
         osnet_x1_0,
         save_npz_variables,
     )
 
-    model = {"x1_0": osnet_x1_0, "x0_25": osnet_x0_25}[variant]()
+    model = {"x1_0": osnet_x1_0, "x0_75": osnet_x0_75,
+             "x0_5": osnet_x0_5, "x0_25": osnet_x0_25}[variant]()
     variables = init_params(model)
     variables = load_torch_weights(model, variables, src)
     save_npz_variables(dst, variables)

@@ -1,0 +1,111 @@
+"""Per-layer OSNet timing on TPU — find where the crops/s go.
+
+The live-ReID rows (bench.py --all) run osnet_x1_0 bf16 over 2048-crop
+batches (S=128 streams x N=16 crops) and sit ~13k crops/s. This script
+times each sequential piece standalone (same shapes, same dtype) so the
+optimization targets are measured, not guessed.
+
+Usage: python scripts/profile_osnet.py [--batch 2048] [--dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, repeats=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    # fetch a value to surface aborted remote computations (axon)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    t0 = time.time()
+    for _ in range(repeats):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    return (time.time() - t0) / repeats * 1000.0  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--hw", type=int, nargs=2, default=(256, 128))
+    ap.add_argument("--repeats", type=int, default=20)
+    args = ap.parse_args()
+
+    from motcpp_tpu.appearance.osnet import (
+        ConvBNReLU,
+        OSBlock,
+        init_params,
+        osnet_x1_0,
+    )
+
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    B = args.batch
+    H, W = args.hw
+    rng = jax.random.PRNGKey(0)
+
+    def cast(vs):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dt)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, vs)
+
+    rows = []
+
+    def bench_mod(label, mod, in_shape, n=1):
+        x = jax.random.normal(rng, (B,) + in_shape, dt)
+        vs = cast(mod.init(rng, x[:1].astype(jnp.float32), train=False))
+        f = jax.jit(lambda v, a: mod.apply(v, a, train=False))
+        ms = timeit(f, vs, x, repeats=args.repeats)
+        rows.append((label, ms * n, n))
+        return ms
+
+    # full model first (the ground truth)
+    model = osnet_x1_0()
+    vs = cast(init_params(model, (H, W)))
+    x_full = jax.random.normal(rng, (B, H, W, 3), dt)
+    f_full = jax.jit(lambda v, a: model.apply(v, a, train=False))
+    full_ms = timeit(f_full, vs, x_full, repeats=args.repeats)
+    print(f"full osnet_x1_0 {args.dtype} B={B} {H}x{W}: "
+          f"{full_ms:.2f} ms  ({B / full_ms * 1000:,.0f} crops/s)")
+
+    # pieces (shapes for 256x128 input)
+    h2, w2 = H // 4, W // 4      # after conv1 s2 + maxpool s2: 64x32
+    bench_mod("conv1 7x7/2 (3->64ch)",
+              ConvBNReLU(64, (7, 7), strides=(2, 2),
+                         padding=((3, 3), (3, 3))), (H, W, 3))
+    bench_mod("OSBlock s2 (64->256, 64x32)", OSBlock(256), (h2, w2, 64))
+    bench_mod("OSBlock s2b (256->256)", OSBlock(256), (h2, w2, 256))
+    bench_mod("OSBlock s3 (256->384, 32x16)",
+              OSBlock(384), (h2 // 2, w2 // 2, 256))
+    bench_mod("OSBlock s3b (384->384)", OSBlock(384),
+              (h2 // 2, w2 // 2, 384))
+    bench_mod("OSBlock s4 (384->512, 16x8)",
+              OSBlock(512), (h2 // 4, w2 // 4, 384))
+    bench_mod("OSBlock s4b (512->512)", OSBlock(512),
+              (h2 // 4, w2 // 4, 512))
+
+    print()
+    total = sum(ms for _, ms, _ in rows)
+    for label, ms, n in rows:
+        note = f" (x{n})" if n > 1 else ""
+        print(f"  {label:40s} {ms:7.2f} ms{note}  "
+              f"{ms / full_ms * 100:5.1f}% of full")
+    print(f"  {'sum of standalone pieces':40s} {total:7.2f} ms  "
+          f"({total / full_ms * 100:.0f}% of full — gaps = transitions, "
+          f"pools, head, fusion wins)")
+
+
+if __name__ == "__main__":
+    main()
