@@ -276,22 +276,29 @@ CAPACITY_TRACKERS = ["strongsort", "boosttrack", "bytetrack"]
 
 def bench_livereid(tracker: str, args) -> dict:
     """Images-in -> tracks-out: raw 256x128 uint8 crops through the
-    in-graph OSNet x1_0 (bfloat16) into the tracker, the serving
+    in-graph OSNet (bfloat16) into the tracker, the serving
     live-ReID path (VERDICT r2 #3). The reference's equivalent path is
     ONNX-Runtime CPU inference inside update()
     (onnx_backend.cpp:110-223); here the CNN and the tracker step are
-    one fused XLA program per frame-batch."""
+    one fused XLA program per frame-batch. --reid-variant selects the
+    backbone width (the reference's export script supports the same
+    osnet_x* family, scripts/export_reid_onnx.py:15-50). --crop-budget
+    caps the CNN batch at the given per-frame crop count: only the
+    highest-confidence valid crops are embedded (appearance.reid.
+    embed_valid_crops) — det slots are capacity, the budget is load."""
     import jax
     import jax.numpy as jnp
 
-    from motcpp_tpu.appearance.osnet import init_params, osnet_x1_0
+    from motcpp_tpu.appearance import osnet as osnet_mod
+    from motcpp_tpu.appearance.osnet import init_params
     from motcpp_tpu.appearance.reid import make_embed_fn
     from motcpp_tpu.parallel import MultiStreamRunner
 
+    variant = getattr(args, "reid_variant", "x1_0")
     hw, D = (256, 128), 512
     S = min(128, args.streams) if args.streams else 128
     T, N, K = 4, 16, 64
-    model = osnet_x1_0(feature_dim=D)
+    model = getattr(osnet_mod, f"osnet_{variant}")(feature_dim=D)
     variables = init_params(model, hw, seed=0)
     # bf16 rides the MXU at its native 16-bit rate on TPU; on CPU it is
     # software-emulated and ~100x slower, so fall back to f32 there
@@ -300,11 +307,17 @@ def bench_livereid(tracker: str, args) -> dict:
 
     import copy
 
+    budget = int(getattr(args, "crop_budget", 0) or 0)
+    if budget:
+        # capacity-vs-load decoupling: size the det axis for peaks, pay
+        # the CNN only for the budget
+        N = max(N, 32)
     a = copy.copy(args)
     a.max_tracks, a.max_dets, a.emb_dim = K, N, D
     init_fn, step_fn = build_tracker_fns(tracker, a)
     runner = MultiStreamRunner(init_fn, step_fn, n_streams=S,
-                               embed_fn=embed)
+                               embed_fn=embed,
+                               crop_budget=budget or None)
     rng = np.random.default_rng(0)
     dets, masks = synth_stream_dets(rng, T, S, N, n_obj=14)
     crops = rng.integers(0, 255, (T, S, N) + hw + (3,)).astype(np.uint8)
@@ -318,17 +331,21 @@ def bench_livereid(tracker: str, args) -> dict:
     )
     agg_fps = S * T / dt
     streams_at_30 = agg_fps / 30.0
-    crops_per_s = S * T * N / dt
+    crops_per_s = (budget or S * N) * T / dt
     dev = jax.devices()[0]
     print(
         f"# [{tracker}_livereid] {dev.device_kind}: {agg_fps:,.0f} "
-        f"aggregate FPS ({crops_per_s:,.0f} crops/s through OSNet x1_0 "
+        f"aggregate FPS ({crops_per_s:,.0f} crops/s through OSNet {variant} "
         f"{cdt}), {dt/T*1e3:.2f} ms/frame-batch, S={S} K={K} N={N} "
-        f"crop={hw[0]}x{hw[1]}",
+        f"crop={hw[0]}x{hw[1]}"
+        + (f" budget={budget}" if budget else ""),
         file=sys.stderr,
     )
     return {
-        "metric": f"{tracker}_livereid_streams_at_30fps_per_chip",
+        "metric": f"{tracker}_livereid"
+        + ("" if variant == "x1_0" else f"_{variant}")
+        + (f"_cb{budget}" if budget else "")
+        + "_streams_at_30fps_per_chip",
         "value": round(streams_at_30, 1),
         "unit": "streams_at_30fps_per_chip",
         "vs_baseline": round(streams_at_30 / 256.0, 3),
@@ -364,6 +381,19 @@ def main():
         "--emb-dim", type=int, default=0,
         help="feed random unit embeddings of this dim through the "
         "sharded rollout (ReID-path benchmark; emb-capable trackers only)",
+    )
+    ap.add_argument(
+        "--reid-variant", default="x1_0",
+        choices=["x1_0", "x0_75", "x0_5", "x0_25"],
+        help="OSNet width for the live-ReID rows (same family the "
+        "reference exports via scripts/export_reid_onnx.py)",
+    )
+    ap.add_argument(
+        "--crop-budget", type=int, default=0,
+        help="cap the live-ReID CNN batch at this many crops per frame "
+        "(highest-confidence valid crops; 0 = embed every det slot). "
+        "Widens the det axis to N>=32 to demonstrate capacity-vs-load "
+        "decoupling",
     )
     ap.add_argument(
         "--cmc", action="store_true",

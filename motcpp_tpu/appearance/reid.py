@@ -253,3 +253,46 @@ def make_embed_fn(model, variables, norm=(IMAGENET_MEAN, IMAGENET_STD),
         return normalize_features(feats.astype(jnp.float32))
 
     return embed
+
+
+def embed_valid_crops(embed_fn, crops, dets, masks, budget=None):
+    """Run the ReID CNN over at most ``budget`` VALID crops per call.
+
+    crops (S, N, Hc, Wc, 3) uint8, dets (S, N, >=5), masks (S, N) bool
+    -> embeddings (S, N, D) float32.
+
+    The padded live-ReID leg embeds every det *slot*, valid or not; the
+    reference embeds only the actual detections of the frame
+    (onnx_backend.cpp:110-133 loops the real crop list). This is the
+    static-shape TPU equivalent: a compaction gather pulls the valid
+    crops to the front (highest detection confidence first), the CNN
+    runs on a fixed (budget, Hc, Wc, 3) batch, and a scatter places the
+    features back into the (S, N, D) slot layout. Invalid slots get
+    zero embeddings (they are masked out of every cost matrix anyway).
+
+    Overflow semantics: if a frame-batch carries more valid crops than
+    ``budget``, the LOWEST-confidence overflow detections get a zero
+    embedding — they still associate by motion/IoU, only the appearance
+    term degrades to "no feature" for that frame. Deterministic: the
+    compaction order is argsort over (validity, -confidence).
+
+    budget=None or budget >= S*N is the plain full-batch path,
+    bit-identical to historical behavior.
+    """
+    S, N = crops.shape[:2]
+    flat = crops.reshape((S * N,) + crops.shape[2:])
+    if budget is None or int(budget) >= S * N:
+        return embed_fn(flat).reshape(S, N, -1)
+    C = int(budget)
+    if C < 1:
+        raise ValueError(f"crop budget must be >= 1, got {budget}")
+    mflat = masks.reshape(S * N)
+    conf = dets[..., 4].reshape(S * N).astype(jnp.float32)
+    # valid first, then by confidence descending; invalid sort to +inf
+    key = jnp.where(mflat, -conf, jnp.inf)
+    idx = jnp.argsort(key)[:C]
+    feats = embed_fn(jnp.take(flat, idx, axis=0))  # (C, D)
+    keep = mflat[idx].astype(feats.dtype)[:, None]
+    out = jnp.zeros((S * N, feats.shape[-1]), feats.dtype)
+    out = out.at[idx].set(feats * keep)
+    return out.reshape(S, N, -1)

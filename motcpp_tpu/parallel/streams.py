@@ -67,7 +67,8 @@ def make_rollout_embs(step_fn: Callable):
 
 def make_rollout_general(step_fn: Callable, with_embs: bool = False,
                          with_warps: bool = False,
-                         embed_fn: Callable | None = None):
+                         embed_fn: Callable | None = None,
+                         crop_budget: int | None = None):
     """Rollout with optional embedding (T, S, N, D), camera-warp
     (T, S, 2, 3), and raw-crop legs. Warps reach the per-stream step as
     its ``warp`` argument, exercising each tracker's CMC application
@@ -81,9 +82,17 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
     each scan step runs the CNN over the flattened S*N crop batch
     before the tracker step — one fused XLA program per frame, the
     in-graph equivalent of the reference computing features inside
-    update() (onnx_backend.cpp:110-223 via botsort.cpp:281)."""
+    update() (onnx_backend.cpp:110-223 via botsort.cpp:281).
+
+    crop_budget caps the CNN batch per frame: only the (up to)
+    crop_budget highest-confidence VALID crops are embedded via a
+    static-shape compaction gather/scatter (appearance.reid.
+    embed_valid_crops) — the reference embeds only the frame's actual
+    detections (onnx_backend.cpp:110-133), never its padding."""
 
     vstep = jax.vmap(step_fn)
+    if crop_budget is not None and embed_fn is None:
+        raise ValueError("crop_budget requires embed_fn (live ReID)")
 
     def rollout(states, dets, masks, *extra):
         def body(st, inp):
@@ -91,9 +100,10 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
             if with_embs:
                 e = rest[0]
                 if embed_fn is not None:
-                    S, N = e.shape[:2]
-                    e = embed_fn(e.reshape((S * N,) + e.shape[2:]))
-                    e = e.reshape(S, N, -1)
+                    from motcpp_tpu.appearance.reid import embed_valid_crops
+
+                    e = embed_valid_crops(embed_fn, e, d, m,
+                                          budget=crop_budget)
                 if with_warps:
                     st, out = vstep(st, d, m, e, rest[1])
                 else:
@@ -132,11 +142,20 @@ class MultiStreamRunner:
         with_embs: bool = False,
         with_warps: bool = False,
         embed_fn: Callable | None = None,
+        crop_budget: int | None = None,
     ):
         """embed_fn (appearance.reid.make_embed_fn): switch the
         embedding leg to live ReID — run() then takes raw uint8 crops
         (T, S, N, Hc, Wc, 3) in place of embs and the CNN runs in-graph
-        per scanned frame. Implies with_embs."""
+        per scanned frame. Implies with_embs.
+
+        crop_budget: GLOBAL per-frame cap on crops embedded by the CNN
+        (appearance.reid.embed_valid_crops). Split evenly across
+        devices (must divide); each shard embeds its crop_budget/n_dev
+        highest-confidence valid crops. With budget >= the number of
+        valid detections, emissions are identical to the uncapped path;
+        overflow detections fall back to motion-only association for
+        that frame."""
         self.n_streams = int(n_streams)
         self.devices = devices if devices is not None else jax.devices()
         self.with_embs = bool(with_embs) or embed_fn is not None
@@ -149,9 +168,19 @@ class MultiStreamRunner:
             )
         self.mesh = Mesh(np.asarray(self.devices), ("streams",))
         self._init_fn = init_fn
+        shard_budget = None
+        if crop_budget is not None:
+            if embed_fn is None:
+                raise ValueError("crop_budget requires embed_fn")
+            if crop_budget % n_dev != 0:
+                raise ValueError(
+                    f"crop_budget={crop_budget} must divide evenly over "
+                    f"{n_dev} devices"
+                )
+            shard_budget = int(crop_budget) // n_dev
         rollout = make_rollout_general(
             step_fn, with_embs=self.with_embs, with_warps=self.with_warps,
-            embed_fn=embed_fn,
+            embed_fn=embed_fn, crop_budget=shard_budget,
         )
 
         if n_dev > 1:

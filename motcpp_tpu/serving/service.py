@@ -68,7 +68,8 @@ class ServedBatch:
 
 def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
                       with_embs: bool, with_warps: bool = False,
-                      embed_fn: Callable | None = None):
+                      embed_fn: Callable | None = None,
+                      crop_budget: int | None = None):
     """Build the present/reset-gated batched step.
 
     Returns ``svc(states, dets, masks, present, reset[, embs][, warps])
@@ -118,10 +119,11 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
             w_ok = jnp.isfinite(w).all((-2, -1))[:, None, None]
             extra = extra[:-1] + (jnp.where(w_ok, w, ident),)
         if with_embs and embed_fn is not None:
-            crops = extra[0]
-            N = crops.shape[1]
-            e = embed_fn(crops.reshape((S * N,) + crops.shape[2:]))
-            extra = (e.reshape(S, N, -1),) + extra[1:]
+            from motcpp_tpu.appearance.reid import embed_valid_crops
+
+            e = embed_valid_crops(embed_fn, extra[0], dets, masks,
+                                  budget=crop_budget)
+            extra = (e,) + extra[1:]
         if with_embs and with_warps:
             new_states, (outs, out_masks) = vstep(
                 states, dets, masks, extra[0], extra[1]
@@ -176,12 +178,19 @@ class TrackingService:
                  queue_depth: int = 4, devices: list | None = None,
                  prefer_native_mux: bool = True, with_warps: bool = False,
                  crop_hw: tuple | None = None,
-                 embed_fn: Callable | None = None):
+                 embed_fn: Callable | None = None,
+                 crop_budget: int | None = None):
         """crop_hw + embed_fn switch the service to LIVE ReID: producers
         submit raw (n, Hc, Wc, 3) uint8 detection crops instead of
         embeddings (the mux carries them natively), and the CNN runs
         in-graph each tick. emb_dim must then be the embed feature
-        width (the tracker cfg's emb_dim)."""
+        width (the tracker cfg's emb_dim).
+
+        crop_budget: GLOBAL per-tick cap on crops embedded by the CNN
+        (appearance.reid.embed_valid_crops; split evenly over devices,
+        must divide). Ticks with more valid detections than the budget
+        embed the highest-confidence ones and let the rest associate by
+        motion only — bounded tick latency under detection floods."""
         self.n_streams = int(n_streams)
         self.max_dets = int(max_dets)
         self.emb_dim = int(emb_dim)
@@ -207,9 +216,21 @@ class TrackingService:
             crop_hw=self.crop_hw,
         )
         self._init_fn = init_fn
+        shard_budget = None
+        if crop_budget is not None:
+            if embed_fn is None:
+                raise ValueError("crop_budget requires live ReID "
+                                 "(crop_hw + embed_fn)")
+            if crop_budget % n_dev != 0:
+                raise ValueError(
+                    f"crop_budget={crop_budget} must divide evenly over "
+                    f"{n_dev} devices"
+                )
+            shard_budget = int(crop_budget) // n_dev
         svc = make_service_step(
             init_fn, step_fn, with_embs=emb_dim > 0,
             with_warps=self.with_warps, embed_fn=embed_fn,
+            crop_budget=shard_budget,
         )
 
         if n_dev > 1:

@@ -376,3 +376,107 @@ def test_runner_live_reid_matches_precomputed_and_shards():
     np.testing.assert_array_equal(np.asarray(masks_a), np.asarray(masks_s))
     np.testing.assert_allclose(np.asarray(outs_a), np.asarray(outs_s),
                                atol=1e-5)
+
+
+def _live_reid_scene(T=4, S=4, N=6, hw=(32, 16), D=32, seed=3,
+                     valid_p=0.8):
+    from motcpp_tpu.appearance.osnet import init_params, osnet_x0_25
+    from motcpp_tpu.appearance.reid import make_embed_fn
+
+    model = osnet_x0_25(feature_dim=D)
+    variables = init_params(model, hw, seed=0)
+    embed = make_embed_fn(model, variables)
+    rng = np.random.default_rng(seed)
+    dets = np.zeros((T, S, N, 6), np.float32)
+    cx = rng.uniform(100, 500, (T, S, N))
+    cy = rng.uniform(100, 400, (T, S, N))
+    dets[..., 0] = cx - 30
+    dets[..., 1] = cy - 60
+    dets[..., 2] = cx + 30
+    dets[..., 3] = cy + 60
+    dets[..., 4] = rng.uniform(0.6, 1.0, (T, S, N))
+    masks = rng.random((T, S, N)) < valid_p
+    crops = rng.integers(0, 255, (T, S, N) + hw + (3,)).astype(np.uint8)
+    return embed, dets, masks, crops
+
+
+def test_embed_valid_crops_budgeted_matches_plain_on_valid_slots():
+    """The compaction gather/scatter must reproduce the plain full-batch
+    embeddings exactly on valid slots and zero the rest (the reference
+    embeds only the frame's real crop list, onnx_backend.cpp:110-133)."""
+    from motcpp_tpu.appearance.reid import embed_valid_crops
+
+    embed, dets, masks, crops = _live_reid_scene(T=1, S=3, N=4)
+    d, m, c = (jnp.asarray(dets[0]), jnp.asarray(masks[0]),
+               jnp.asarray(crops[0]))
+    plain = np.asarray(embed_valid_crops(embed, c, d, m, budget=None))
+    n_valid = int(masks[0].sum())
+    capped = np.asarray(jax.jit(
+        lambda c_, d_, m_: embed_valid_crops(embed, c_, d_, m_,
+                                             budget=n_valid)
+    )(c, d, m))
+    np.testing.assert_allclose(capped[masks[0]], plain[masks[0]], atol=1e-5)
+    assert (capped[~masks[0]] == 0).all()
+    # budget >= S*N degenerates to the plain path (invalid slots keep
+    # their CNN(garbage) features, historical behavior)
+    full = np.asarray(embed_valid_crops(embed, c, d, m, budget=12))
+    np.testing.assert_array_equal(full, plain)
+    with pytest.raises(ValueError, match="budget"):
+        embed_valid_crops(embed, c, d, m, budget=0)
+
+
+def test_runner_crop_budget_matches_uncapped_and_shards():
+    """With budget >= the number of valid detections per frame, the
+    budgeted live-ReID runner must emit the same tracks as the uncapped
+    one (this also proves trackers never read masked-slot embeddings);
+    an overflowing budget must still run and emit finite tracks
+    (overflow dets associate by motion only); sharded == single."""
+    from motcpp_tpu.models.botsort import BotSortConfig, make_botsort
+
+    T, S, N, D = 4, 4, 6, 32
+    embed, dets, masks, crops = _live_reid_scene(T=T, S=S, N=N, D=D)
+    cfg = BotSortConfig(max_tracks=16, max_dets=N, emb_dim=D, with_reid=True)
+    init_fn, step_fn = make_botsort(cfg)
+    dets_j, masks_j, crops_j = map(jnp.asarray, (dets, masks, crops))
+
+    r0 = MultiStreamRunner(init_fn, step_fn, n_streams=S,
+                           devices=jax.devices()[:1], embed_fn=embed)
+    outs_0, masks_0 = r0.run(dets_j, masks_j, embs=crops_j)
+
+    budget = int(masks.sum(axis=(1, 2)).max())  # covers every frame
+    rb = MultiStreamRunner(init_fn, step_fn, n_streams=S,
+                           devices=jax.devices()[:1], embed_fn=embed,
+                           crop_budget=budget)
+    outs_b, masks_b = rb.run(dets_j, masks_j, embs=crops_j)
+    np.testing.assert_array_equal(np.asarray(masks_0), np.asarray(masks_b))
+    np.testing.assert_allclose(np.asarray(outs_0), np.asarray(outs_b),
+                               atol=1e-5)
+    assert int(np.asarray(masks_b).sum()) > 0
+
+    # sharded: per-shard budget must cover each shard's max valid count
+    per_shard = int(masks.reshape(T, 4, S // 4, N).sum(axis=(2, 3)).max())
+    rs = MultiStreamRunner(init_fn, step_fn, n_streams=S,
+                           devices=jax.devices()[:4], embed_fn=embed,
+                           crop_budget=per_shard * 4)
+    outs_s, masks_s = rs.run(dets_j, masks_j, embs=crops_j)
+    np.testing.assert_array_equal(np.asarray(masks_0), np.asarray(masks_s))
+    np.testing.assert_allclose(np.asarray(outs_0), np.asarray(outs_s),
+                               atol=1e-5)
+
+    # overflow: tighter budget than the valid count still runs clean
+    ro = MultiStreamRunner(init_fn, step_fn, n_streams=S,
+                           devices=jax.devices()[:1], embed_fn=embed,
+                           crop_budget=max(1, budget // 3))
+    outs_o, masks_o = ro.run(dets_j, masks_j, embs=crops_j)
+    om = np.asarray(masks_o)
+    assert om.sum() > 0
+    assert np.isfinite(np.asarray(outs_o)[om]).all()
+
+    with pytest.raises(ValueError, match="crop_budget"):
+        MultiStreamRunner(init_fn, step_fn, n_streams=S,
+                          devices=jax.devices()[:1], with_embs=True,
+                          crop_budget=4)
+    with pytest.raises(ValueError, match="divide"):
+        MultiStreamRunner(init_fn, step_fn, n_streams=S,
+                          devices=jax.devices()[:4], embed_fn=embed,
+                          crop_budget=6)

@@ -657,3 +657,51 @@ def test_service_live_reid_matches_precomputed(n_dev):
         rp = pre.step().tracks_for(hp)
         np.testing.assert_array_equal(rl, rp)
     assert rl.shape[0] > 0  # the scenario actually emits tracks
+
+
+def test_service_crop_budget_matches_uncapped():
+    """A crop_budget covering the tick's valid detections emits the
+    same tracks as the uncapped live-ReID service; bad configurations
+    raise. The budget bounds CNN cost per tick (the reference's ORT
+    backend caps its batch at 32 and loops, onnx_backend.cpp:159-223 —
+    here the cap is a static compile-time batch)."""
+    import jax
+
+    hw, dim = (32, 16), 16
+    embed, _ = _embed_pair(hw, dim)
+    rng = np.random.default_rng(13)
+
+    def mk(**kw):
+        from motcpp_tpu.models.botsort import BotSortConfig, make_botsort
+
+        cfg = BotSortConfig(max_tracks=16, max_dets=8, emb_dim=dim,
+                            with_reid=True)
+        init_fn, step_fn = make_botsort(cfg)
+        return TrackingService(
+            init_fn, step_fn, n_streams=2, max_dets=8, emb_dim=dim,
+            devices=jax.devices()[:1], crop_hw=hw, embed_fn=embed, **kw
+        )
+
+    svc_a = mk()
+    svc_b = mk(crop_budget=3)  # = max dets submitted per tick below
+    ha, hb = svc_a.attach(), svc_b.attach()
+    for _ in range(5):
+        dets = _frame(rng, 3)
+        crops = rng.integers(0, 255, (3,) + hw + (3,)).astype(np.uint8)
+        svc_a.submit(ha, dets, crops=crops)
+        svc_b.submit(hb, dets, crops=crops)
+        ra = svc_a.step().tracks_for(ha)
+        rb = svc_b.step().tracks_for(hb)
+        np.testing.assert_allclose(ra, rb, atol=1e-5)
+    assert ra.shape[0] > 0
+
+    with pytest.raises(ValueError, match="crop_budget"):
+        from motcpp_tpu.models.bytetrack import (
+            ByteTrackConfig,
+            make_bytetrack,
+        )
+
+        cfg = ByteTrackConfig(max_tracks=16, max_dets=8)
+        i_fn, s_fn = make_bytetrack(cfg)
+        TrackingService(i_fn, s_fn, n_streams=2, max_dets=8,
+                        devices=jax.devices()[:1], crop_budget=4)
