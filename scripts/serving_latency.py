@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Serving tick-latency distribution under sustained load.
+
+Drives a :class:`motcpp_tpu.serving.TrackingService` end to end —
+producer threads submit frames through the (native) mux while the
+serving loop ticks — and reports the wall-clock latency distribution of
+``service.step()`` (host assemble + device step + fetch): p50 / p90 /
+p95 / p99 / max, plus the sustainable tick rate and the implied
+streams@30FPS capacity at the measured p99.
+
+Throughput (streams@30FPS/chip) is bench.py's job; this script answers
+the serving question bench.py cannot: *how long does one tick take,
+tail included, when frames arrive from real threads?* The reference has
+no serving layer to compare against (its concurrency story is one
+tracker instance per thread, reference docs/guides/architecture.md:
+246-258); the numbers here are the batched equivalent's SLO surface.
+
+Usage:
+  python scripts/serving_latency.py --tracker bytetrack --streams 1024
+  python scripts/serving_latency.py --occupancy 0.5   # half the slots live
+  python scripts/serving_latency.py --cpu             # force CPU backend
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def synth_frame(rng, n_obj, max_dets):
+    """One frame of MOT17-like detections: (n, 6) float32."""
+    n = min(n_obj, max_dets)
+    cx = rng.uniform(60, 1860, n)
+    cy = rng.uniform(60, 1020, n)
+    w = rng.uniform(30, 120, n)
+    h = rng.uniform(60, 260, n)
+    d = np.zeros((n, 6), np.float32)
+    d[:, 0] = cx - w / 2
+    d[:, 1] = cy - h / 2
+    d[:, 2] = cx + w / 2
+    d[:, 3] = cy + h / 2
+    d[:, 4] = rng.uniform(0.3, 1.0, n)
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description=__doc__.split("\n", 1)[0],
+    )
+    ap.add_argument("--tracker", default="bytetrack")
+    ap.add_argument("--streams", type=int, default=1024)
+    ap.add_argument("--max-dets", type=int, default=32)
+    ap.add_argument("--max-tracks", type=int, default=64)
+    ap.add_argument("--objects", type=int, default=14,
+                    help="detections per frame per stream")
+    ap.add_argument("--ticks", type=int, default=200,
+                    help="measured ticks (after warmup)")
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--occupancy", type=float, default=1.0,
+                    help="fraction of slots with a live producer")
+    ap.add_argument("--producers", type=int, default=4,
+                    help="feeder threads sharing the attached streams")
+    ap.add_argument("--lap", default="auction_pallas",
+                    choices=["jv", "auction", "auction_pallas"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (no TPU tunnel)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if jax.devices()[0].platform != "tpu":
+        # Pallas lowering is TPU-only; interpret-mode is too slow to time
+        if args.lap == "auction_pallas":
+            args.lap = "auction"
+
+    from motcpp_tpu.serving import TrackingService
+
+    n_live = max(1, int(round(args.streams * args.occupancy)))
+    svc = TrackingService.from_tracker(
+        args.tracker, n_streams=args.streams, max_dets=args.max_dets,
+        tracker_kw=dict(max_tracks=args.max_tracks, lap_impl=args.lap),
+    )
+    handles = [svc.attach() for _ in range(n_live)]
+
+    # Producers: each thread owns a disjoint slice of the live streams
+    # and submits one frame per stream per tick "generation". A shared
+    # epoch counter (bumped by the measuring loop) paces them, so the
+    # queue depth stays bounded at ~1 regardless of tick latency —
+    # measuring a steadily-fed service, not an overflowing one.
+    epoch = [0]
+    stop = [False]
+    started = threading.Barrier(args.producers + 1)
+
+    def feeder(tid):
+        rng = np.random.default_rng(1000 + tid)
+        mine = handles[tid::args.producers]
+        started.wait()
+        seen = -1
+        while not stop[0]:
+            e = epoch[0]
+            if e == seen:
+                time.sleep(0.0005)
+                continue
+            seen = e
+            for h in mine:
+                svc.submit(h, synth_frame(rng, args.objects,
+                                          args.max_dets))
+
+    threads = [threading.Thread(target=feeder, args=(t,), daemon=True)
+               for t in range(args.producers)]
+    for t in threads:
+        t.start()
+    started.wait()
+
+    def one_tick():
+        epoch[0] += 1
+        # wait until every live stream has this epoch's frame queued
+        deadline = time.time() + 30.0
+        while time.time() < deadline:
+            if all(svc.pending(h) > 0 for h in handles):
+                break
+            time.sleep(0.0005)
+        t0 = time.perf_counter()
+        batch = svc.step()
+        dt = time.perf_counter() - t0
+        return dt, int(batch.present.sum())
+
+    print(f"# warmup ({args.warmup} ticks, includes compile)...",
+          file=sys.stderr, flush=True)
+    for _ in range(args.warmup):
+        one_tick()
+
+    lat = np.empty(args.ticks, np.float64)
+    presents = 0
+    for i in range(args.ticks):
+        lat[i], p = one_tick()
+        presents += p
+    stop[0] = True
+    for t in threads:
+        t.join(timeout=5)
+
+    ms = np.sort(lat) * 1e3
+    q = lambda p: float(np.percentile(ms, p))
+    p50, p90, p95, p99 = q(50), q(90), q(95), q(99)
+    mean = float(ms.mean())
+    # capacity at the tail: streams sustainable at 30 FPS if every tick
+    # took as long as the p99 tick
+    cap_p99 = n_live / (p99 * 1e-3) / 30.0
+    dev = jax.devices()[0]
+    result = {
+        "metric": f"{args.tracker}_serving_tick_latency_ms",
+        "p50": round(p50, 2), "p90": round(p90, 2),
+        "p95": round(p95, 2), "p99": round(p99, 2),
+        "max": round(float(ms[-1]), 2), "mean": round(mean, 2),
+        "streams": args.streams, "live": n_live,
+        "occupancy": args.occupancy,
+        "ticks": args.ticks, "producers": args.producers,
+        "lap": args.lap, "device": dev.device_kind,
+        "streams_at_30fps_at_p99": round(cap_p99, 1),
+    }
+    print(
+        f"# [{args.tracker}] {dev.device_kind}: tick latency "
+        f"p50={p50:.2f} p90={p90:.2f} p95={p95:.2f} p99={p99:.2f} "
+        f"max={ms[-1]:.2f} ms (mean {mean:.2f}) over {args.ticks} ticks, "
+        f"{n_live}/{args.streams} live streams, {args.producers} "
+        f"producer threads; p99-capacity {cap_p99:,.0f} streams@30FPS",
+        file=sys.stderr, flush=True,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -705,3 +705,27 @@ def test_service_crop_budget_matches_uncapped():
         i_fn, s_fn = make_bytetrack(cfg)
         TrackingService(i_fn, s_fn, n_streams=2, max_dets=8,
                         devices=jax.devices()[:1], crop_budget=4)
+
+
+def test_serving_latency_harness_smoke():
+    """scripts/serving_latency.py must run end to end (threads feeding
+    the mux, paced epochs, percentile report) and emit its JSON
+    contract — the serving SLO surface stays measurable."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(root / "scripts" / "serving_latency.py"),
+         "--cpu", "--streams", "8", "--ticks", "6", "--warmup", "2",
+         "--producers", "2", "--occupancy", "0.75", "--max-tracks", "16"],
+        capture_output=True, text=True, timeout=600, cwd=root,
+    )
+    assert r.returncode == 0, r.stderr
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["metric"] == "bytetrack_serving_tick_latency_ms"
+    assert 0 < res["p50"] <= res["p99"] <= res["max"]
+    assert res["live"] == 6 and res["streams"] == 8
+    assert res["streams_at_30fps_at_p99"] > 0
