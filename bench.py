@@ -348,7 +348,13 @@ def bench_livereid(tracker: str, args) -> dict:
         + "_streams_at_30fps_per_chip",
         "value": round(streams_at_30, 1),
         "unit": "streams_at_30fps_per_chip",
+        # vs_baseline keeps the scoreboard-wide ">=256 streams" target
+        # for comparability; the reference's own images-in pipeline
+        # (StrongSORT + ONNX ReID, BASELINE.md: 95 FPS on i9-13900K
+        # ~= 3.2 streams@30FPS) is the like-for-like ratio below
         "vs_baseline": round(streams_at_30 / 256.0, 3),
+        "aggregate_fps": round(agg_fps, 1),
+        "vs_ref_reid_pipeline": round(agg_fps / 95.0, 1),
     }
 
 
