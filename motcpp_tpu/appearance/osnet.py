@@ -60,22 +60,63 @@ class ConvBNReLU(nn.Module):
         return x
 
 
-class LiteConv3x3(nn.Module):
-    """torchreid LightConv3x3: 1x1 pointwise + 3x3 depthwise + BN + ReLU."""
+class DepthwiseShift3x3(nn.Module):
+    """3x3 stride-1 SAME depthwise conv as 9 shifted multiply-adds.
+
+    Mathematically identical to ``nn.Conv(feature_group_count=C)`` and
+    declares the SAME parameter (``kernel`` of shape (3, 3, 1, C), HWIO
+    depthwise layout) so converted torchreid checkpoints map unchanged.
+    The schedule differs: instead of XLA's grouped-convolution lowering,
+    the 9 taps are unrolled into an elementwise FMA stencil over shifted
+    views of the padded input — pure VPU work that XLA fuses into one
+    bandwidth-bound loop. Exists because grouped convs are the profiled
+    hot spot of OSNet on TPU; parity is pinned in tests/test_appearance.
+    """
 
     features: int
 
     @nn.compact
+    def __call__(self, x):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 1, self.features),
+            jnp.float32,
+        ).astype(x.dtype)
+        H, W = x.shape[1], x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = None
+        for i in range(3):
+            for j in range(3):
+                term = xp[:, i : i + H, j : j + W, :] * k[i, j, 0, :]
+                out = term if out is None else out + term
+        return out
+
+
+class LiteConv3x3(nn.Module):
+    """torchreid LightConv3x3: 1x1 pointwise + 3x3 depthwise + BN + ReLU.
+
+    dw_impl selects the depthwise schedule: "conv" (XLA grouped conv)
+    or "shift" (:class:`DepthwiseShift3x3`); both share one param layout.
+    """
+
+    features: int
+    dw_impl: str = "conv"
+
+    @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
-        x = nn.Conv(
-            self.features,
-            (3, 3),
-            padding=((1, 1), (1, 1)),
-            feature_group_count=self.features,
-            use_bias=False,
-            name="conv2",
-        )(x)
+        if self.dw_impl == "shift":
+            x = DepthwiseShift3x3(self.features, name="conv2")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (3, 3),
+                padding=((1, 1), (1, 1)),
+                feature_group_count=self.features,
+                use_bias=False,
+                name="conv2",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, name="bn"
         )(x)
@@ -109,6 +150,7 @@ class OSBlock(nn.Module):
 
     features: int
     bottleneck_reduction: int = 4
+    dw_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -116,17 +158,20 @@ class OSBlock(nn.Module):
         identity = x
         x1 = ConvBNReLU(mid, (1, 1), name="conv1")(x, train)
 
+        def lite(name):
+            return LiteConv3x3(mid, dw_impl=self.dw_impl, name=name)
+
         # streams: conv2a (1 lite conv), conv2b (2), conv2c (3), conv2d (4)
-        x2a = LiteConv3x3(mid, name="conv2a")(x1, train)
-        x2b = LiteConv3x3(mid, name="conv2b_0")(x1, train)
-        x2b = LiteConv3x3(mid, name="conv2b_1")(x2b, train)
-        x2c = LiteConv3x3(mid, name="conv2c_0")(x1, train)
-        x2c = LiteConv3x3(mid, name="conv2c_1")(x2c, train)
-        x2c = LiteConv3x3(mid, name="conv2c_2")(x2c, train)
-        x2d = LiteConv3x3(mid, name="conv2d_0")(x1, train)
-        x2d = LiteConv3x3(mid, name="conv2d_1")(x2d, train)
-        x2d = LiteConv3x3(mid, name="conv2d_2")(x2d, train)
-        x2d = LiteConv3x3(mid, name="conv2d_3")(x2d, train)
+        x2a = lite("conv2a")(x1, train)
+        x2b = lite("conv2b_0")(x1, train)
+        x2b = lite("conv2b_1")(x2b, train)
+        x2c = lite("conv2c_0")(x1, train)
+        x2c = lite("conv2c_1")(x2c, train)
+        x2c = lite("conv2c_2")(x2c, train)
+        x2d = lite("conv2d_0")(x1, train)
+        x2d = lite("conv2d_1")(x2d, train)
+        x2d = lite("conv2d_2")(x2d, train)
+        x2d = lite("conv2d_3")(x2d, train)
 
         gate = ChannelGate(mid, name="gate")
         x2 = gate(x2a) + gate(x2b) + gate(x2c) + gate(x2d)
@@ -152,10 +197,15 @@ class OSNet(nn.Module):
 
     channels: Sequence[int] = (64, 256, 384, 512)
     feature_dim: int = 512
+    dw_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c1, c2, c3, c4 = self.channels
+
+        def block(feats, name):
+            return OSBlock(feats, dw_impl=self.dw_impl, name=name)
+
         x = ConvBNReLU(
             c1, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             name="conv1",
@@ -164,18 +214,18 @@ class OSNet(nn.Module):
             x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
         )
         # stage 2 (torchreid conv2: 2 blocks + Conv1x1 transition + avgpool)
-        x = OSBlock(c2, name="conv2_0")(x, train)
-        x = OSBlock(c2, name="conv2_1")(x, train)
+        x = block(c2, "conv2_0")(x, train)
+        x = block(c2, "conv2_1")(x, train)
         x = ConvBNReLU(c2, (1, 1), name="conv2_2_0")(x, train)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         # stage 3
-        x = OSBlock(c3, name="conv3_0")(x, train)
-        x = OSBlock(c3, name="conv3_1")(x, train)
+        x = block(c3, "conv3_0")(x, train)
+        x = block(c3, "conv3_1")(x, train)
         x = ConvBNReLU(c3, (1, 1), name="conv3_2_0")(x, train)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         # stage 4 (no spatial reduction) + conv5
-        x = OSBlock(c4, name="conv4_0")(x, train)
-        x = OSBlock(c4, name="conv4_1")(x, train)
+        x = block(c4, "conv4_0")(x, train)
+        x = block(c4, "conv4_1")(x, train)
         x = ConvBNReLU(c4, (1, 1), name="conv5")(x, train)
         # head: gap -> Linear -> BN1d -> ReLU (torchreid _construct_fc_layer)
         x = jnp.mean(x, axis=(1, 2))
@@ -186,20 +236,24 @@ class OSNet(nn.Module):
         return nn.relu(x)
 
 
-def osnet_x1_0(feature_dim: int = 512) -> OSNet:
-    return OSNet(channels=(64, 256, 384, 512), feature_dim=feature_dim)
+def osnet_x1_0(feature_dim: int = 512, dw_impl: str = "conv") -> OSNet:
+    return OSNet(channels=(64, 256, 384, 512), feature_dim=feature_dim,
+                 dw_impl=dw_impl)
 
 
-def osnet_x0_75(feature_dim: int = 512) -> OSNet:
-    return OSNet(channels=(48, 192, 288, 384), feature_dim=feature_dim)
+def osnet_x0_75(feature_dim: int = 512, dw_impl: str = "conv") -> OSNet:
+    return OSNet(channels=(48, 192, 288, 384), feature_dim=feature_dim,
+                 dw_impl=dw_impl)
 
 
-def osnet_x0_5(feature_dim: int = 512) -> OSNet:
-    return OSNet(channels=(32, 128, 192, 256), feature_dim=feature_dim)
+def osnet_x0_5(feature_dim: int = 512, dw_impl: str = "conv") -> OSNet:
+    return OSNet(channels=(32, 128, 192, 256), feature_dim=feature_dim,
+                 dw_impl=dw_impl)
 
 
-def osnet_x0_25(feature_dim: int = 512) -> OSNet:
-    return OSNet(channels=(16, 64, 96, 128), feature_dim=feature_dim)
+def osnet_x0_25(feature_dim: int = 512, dw_impl: str = "conv") -> OSNet:
+    return OSNet(channels=(16, 64, 96, 128), feature_dim=feature_dim,
+                 dw_impl=dw_impl)
 
 
 def init_params(model: OSNet, input_hw=(256, 128), seed: int = 0):

@@ -42,6 +42,9 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 128))
     ap.add_argument("--repeats", type=int, default=20)
+    ap.add_argument("--dw-impl", default="conv", choices=["conv", "shift"],
+                    help="depthwise schedule: XLA grouped conv vs "
+                    "unrolled shift-FMA stencil (DepthwiseShift3x3)")
     args = ap.parse_args()
 
     from motcpp_tpu.appearance.osnet import (
@@ -72,12 +75,12 @@ def main():
         return ms
 
     # full model first (the ground truth)
-    model = osnet_x1_0()
+    model = osnet_x1_0(dw_impl=args.dw_impl)
     vs = cast(init_params(model, (H, W)))
     x_full = jax.random.normal(rng, (B, H, W, 3), dt)
     f_full = jax.jit(lambda v, a: model.apply(v, a, train=False))
     full_ms = timeit(f_full, vs, x_full, repeats=args.repeats)
-    print(f"full osnet_x1_0 {args.dtype} B={B} {H}x{W}: "
+    print(f"full osnet_x1_0 [{args.dw_impl}] {args.dtype} B={B} {H}x{W}: "
           f"{full_ms:.2f} ms  ({B / full_ms * 1000:,.0f} crops/s)")
 
     # pieces (shapes for 256x128 input)
@@ -85,15 +88,15 @@ def main():
     bench_mod("conv1 7x7/2 (3->64ch)",
               ConvBNReLU(64, (7, 7), strides=(2, 2),
                          padding=((3, 3), (3, 3))), (H, W, 3))
-    bench_mod("OSBlock s2 (64->256, 64x32)", OSBlock(256), (h2, w2, 64))
-    bench_mod("OSBlock s2b (256->256)", OSBlock(256), (h2, w2, 256))
+    bench_mod("OSBlock s2 (64->256, 64x32)", OSBlock(256, dw_impl=args.dw_impl), (h2, w2, 64))
+    bench_mod("OSBlock s2b (256->256)", OSBlock(256, dw_impl=args.dw_impl), (h2, w2, 256))
     bench_mod("OSBlock s3 (256->384, 32x16)",
-              OSBlock(384), (h2 // 2, w2 // 2, 256))
-    bench_mod("OSBlock s3b (384->384)", OSBlock(384),
+              OSBlock(384, dw_impl=args.dw_impl), (h2 // 2, w2 // 2, 256))
+    bench_mod("OSBlock s3b (384->384)", OSBlock(384, dw_impl=args.dw_impl),
               (h2 // 2, w2 // 2, 384))
     bench_mod("OSBlock s4 (384->512, 16x8)",
-              OSBlock(512), (h2 // 4, w2 // 4, 384))
-    bench_mod("OSBlock s4b (512->512)", OSBlock(512),
+              OSBlock(512, dw_impl=args.dw_impl), (h2 // 4, w2 // 4, 384))
+    bench_mod("OSBlock s4b (512->512)", OSBlock(512, dw_impl=args.dw_impl),
               (h2 // 4, w2 // 4, 512))
 
     print()

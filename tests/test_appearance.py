@@ -279,3 +279,29 @@ def test_bad_compute_dtype_raises():
 
     with _pytest.raises(ValueError):
         ReIDBackend(compute_dtype="fp16")
+
+
+def test_depthwise_shift_matches_grouped_conv():
+    """dw_impl='shift' (DepthwiseShift3x3 stencil) must share the exact
+    parameter tree of the grouped-conv model (converted checkpoints map
+    unchanged) and reproduce its forward numerics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from motcpp_tpu.appearance.osnet import init_params, osnet_x0_25
+
+    m_conv = osnet_x0_25()
+    m_shift = osnet_x0_25(dw_impl="shift")
+    v = init_params(m_conv, (64, 32), seed=0)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        init_params(m_shift, (64, 32), seed=0)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 64, 32, 3)).astype(np.float32)
+    )
+    y_conv = m_conv.apply(v, x, train=False)
+    y_shift = m_shift.apply(v, x, train=False)  # same variables v
+    np.testing.assert_allclose(
+        np.asarray(y_conv), np.asarray(y_shift), atol=1e-4, rtol=1e-4
+    )
