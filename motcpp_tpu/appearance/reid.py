@@ -154,15 +154,25 @@ class ReIDBackend:
             bf16-vs-f32 cosine agreement is pinned ≥0.995 in
             tests/test_appearance.py. Use bf16 for throughput-bound
             serving, f32 when reproducing reference numbers.
+        dw_impl: depthwise-conv schedule, "conv" (XLA grouped conv) or
+            "shift" (unrolled shift-FMA stencil, same param tree —
+            checkpoints load unchanged; numeric parity pinned in
+            tests/test_appearance.py). Pick whichever profiles faster
+            on the target backend (scripts/profile_osnet.py --dw-impl).
     """
 
     def __init__(self, weights: str = "", model_name: str = "", seed: int = 0,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", dw_impl: str = "conv"):
         from motcpp_tpu.appearance.osnet import (
             init_params,
             load_weights_auto,
             osnet_x1_0,
         )
+
+        if dw_impl not in ("conv", "shift"):
+            raise ValueError(
+                f"dw_impl must be 'conv' or 'shift', got {dw_impl!r}"
+            )
 
         if not model_name and weights:
             model_name = str(weights).rsplit("/", 1)[-1]
@@ -175,8 +185,11 @@ class ReIDBackend:
             # tensors and shape-verified (raises listing any mismatch;
             # unknown file suffixes also raise)
             self.model, self.variables = load_weights_auto(weights)
+            if dw_impl != "conv":
+                # same param tree — only the compute schedule changes
+                self.model = self.model.clone(dw_impl=dw_impl)
         else:
-            self.model = osnet_x1_0()
+            self.model = osnet_x1_0(dw_impl=dw_impl)
             self.variables = init_params(self.model, self.input_shape, seed)
 
         cdt = _check_compute_dtype(compute_dtype)

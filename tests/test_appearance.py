@@ -305,3 +305,24 @@ def test_depthwise_shift_matches_grouped_conv():
     np.testing.assert_allclose(
         np.asarray(y_conv), np.asarray(y_shift), atol=1e-4, rtol=1e-4
     )
+
+
+def test_reid_backend_dw_impl_shift():
+    """ReIDBackend(dw_impl='shift') must load checkpoints unchanged
+    (clone keeps the param tree) and agree with the grouped-conv
+    schedule; bad values raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from motcpp_tpu.appearance.reid import ReIDBackend
+
+    w = "tests/fixtures/osnet_x0_25_converted.npz"
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+    boxes = np.asarray([[10, 10, 100, 230]], np.float32)
+    a = ReIDBackend(weights=w)
+    b = ReIDBackend(weights=w, dw_impl="shift")
+    cos = float(np.sum(a.get_features(boxes, img) * b.get_features(boxes, img)))
+    assert cos >= 0.999, cos
+    with _pytest.raises(ValueError):
+        ReIDBackend(dw_impl="fast")
