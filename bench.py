@@ -298,7 +298,8 @@ def bench_livereid(tracker: str, args) -> dict:
     hw, D = (256, 128), 512
     S = min(128, args.streams) if args.streams else 128
     T, N, K = 4, 16, 64
-    model = getattr(osnet_mod, f"osnet_{variant}")(feature_dim=D)
+    model = getattr(osnet_mod, f"osnet_{variant}")(
+        feature_dim=D, dw_impl=getattr(args, "dw_impl", "conv"))
     variables = init_params(model, hw, seed=0)
     # bf16 rides the MXU at its native 16-bit rate on TPU; on CPU it is
     # software-emulated and ~100x slower, so fall back to f32 there
@@ -393,6 +394,11 @@ def main():
         choices=["x1_0", "x0_75", "x0_5", "x0_25"],
         help="OSNet width for the live-ReID rows (same family the "
         "reference exports via scripts/export_reid_onnx.py)",
+    )
+    ap.add_argument(
+        "--dw-impl", default="conv", choices=["conv", "shift"],
+        help="OSNet depthwise schedule for the live-ReID rows "
+        "(scripts/profile_osnet.py A/Bs them; same numerics either way)",
     )
     ap.add_argument(
         "--crop-budget", type=int, default=0,
