@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
+import time
 from typing import Any, Callable
 
 import jax
@@ -257,6 +258,10 @@ class TrackingService:
         self._reset = np.zeros((self.n_streams,), bool)
         self._gen = np.zeros((self.n_streams,), np.int64)
         self._ticks = 0
+        self._tick_ms_last = 0.0
+        self._tick_ms_ewma = None
+        self._tick_ms_max = 0.0
+        self._last_present = 0
 
     @classmethod
     def from_tracker(cls, name: str, n_streams: int, max_dets: int = 32,
@@ -330,6 +335,7 @@ class TrackingService:
     # ------------------------------------------------------------------
     def step(self) -> ServedBatch:
         """Assemble one batch and run one tracker step over all slots."""
+        t0 = time.perf_counter()
         dets, mask, embs, warps, present, crops = self.mux.assemble()
         with self._lock:
             reset = self._reset.copy()
@@ -351,11 +357,24 @@ class TrackingService:
             args = [jax.device_put(a, sh) for a in args]
         self._states, (outs, out_masks) = self._svc(self._states, *args)
         self._ticks += 1
-        return ServedBatch(
+        batch = ServedBatch(
             present=np.asarray(present),
             outs=np.asarray(outs),
             out_masks=np.asarray(out_masks),
         )
+        # observability: wall time of the whole tick (assemble + device
+        # step + fetch) and slot occupancy — stats() exposes these for
+        # SLO monitoring (scripts/serving_latency.py measures the full
+        # distribution offline)
+        ms = (time.perf_counter() - t0) * 1e3
+        self._tick_ms_last = ms
+        self._tick_ms_max = max(self._tick_ms_max, ms)
+        self._tick_ms_ewma = (
+            ms if self._tick_ms_ewma is None
+            else 0.95 * self._tick_ms_ewma + 0.05 * ms
+        )
+        self._last_present = int(batch.present.sum())
+        return batch
 
     def _init_states(self):
         states = jax.vmap(lambda _: self._init_fn())(
@@ -410,6 +429,23 @@ class TrackingService:
         self._states = states
 
     def stats(self) -> dict:
+        """Mux counters + tick-latency/occupancy gauges.
+
+        submitted/dropped/assembled/attached come from the mux;
+        tick_ms_{last,ewma,max} time the full tick (assemble + device
+        step + fetch; ewma α=0.05), and occupancy is the live-slot
+        fraction of the latest tick. All values are snapshots — cheap
+        enough to poll every tick for an external metrics scraper.
+        """
         s = self.mux.stats()
         s["ticks"] = self._ticks
+        s["tick_ms_last"] = round(self._tick_ms_last, 3)
+        s["tick_ms_ewma"] = (
+            round(self._tick_ms_ewma, 3)
+            if self._tick_ms_ewma is not None else 0.0
+        )
+        s["tick_ms_max"] = round(self._tick_ms_max, 3)
+        s["occupancy"] = (
+            self._last_present / self.n_streams if self.n_streams else 0.0
+        )
         return s

@@ -729,3 +729,25 @@ def test_serving_latency_harness_smoke():
     assert 0 < res["p50"] <= res["p99"] <= res["max"]
     assert res["live"] == 6 and res["streams"] == 8
     assert res["streams_at_30fps_at_p99"] > 0
+
+
+def test_service_stats_latency_gauges():
+    """stats() must expose tick latency (last/ewma/max) and occupancy
+    alongside the mux counters after steps run."""
+    import jax
+
+    i_fn, s_fn = _bytetrack_core(max_dets=8, max_tracks=8)
+    svc = TrackingService(i_fn, s_fn, n_streams=4, max_dets=8,
+                          devices=jax.devices()[:1])
+    h = svc.attach()
+    s0 = svc.stats()
+    assert s0["ticks"] == 0 and s0["tick_ms_last"] == 0.0
+    for f in range(3):
+        svc.submit(h, np.array([[10 + f, 10, 50 + f, 90, 0.9, 0]],
+                               np.float32))
+        svc.step()
+    s = svc.stats()
+    assert s["ticks"] == 3
+    assert s["tick_ms_last"] > 0 and s["tick_ms_max"] >= s["tick_ms_last"]
+    assert s["tick_ms_ewma"] > 0
+    assert s["occupancy"] == 0.25  # 1 live of 4 slots
