@@ -72,6 +72,14 @@ def main():
                     choices=["jv", "auction", "auction_pallas"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (no TPU tunnel)")
+    ap.add_argument("--live-reid", action="store_true",
+                    help="producers submit raw uint8 crops; the service "
+                    "embeds them in-graph (OSNet) before association — "
+                    "SLO of the images-in serving config")
+    ap.add_argument("--reid-variant", default="x1_0",
+                    choices=["x1_0", "x0_75", "x0_5", "x0_25"])
+    ap.add_argument("--crop-budget", type=int, default=0,
+                    help="per-tick cap on crops embedded (0 = all slots)")
     args = ap.parse_args()
 
     import jax
@@ -86,9 +94,33 @@ def main():
     from motcpp_tpu.serving import TrackingService
 
     n_live = max(1, int(round(args.streams * args.occupancy)))
+    crop_hw = None
+    reid_kw = {}
+    if args.live_reid and args.tracker in (
+        "sort", "bytetrack", "ocsort", "ucmctrack"
+    ):
+        ap.error(f"--live-reid needs an appearance tracker "
+                 f"(strongsort/botsort/deepocsort/boosttrack/hybridsort), "
+                 f"got {args.tracker}")
+    if args.live_reid:
+        from motcpp_tpu.appearance import osnet as osnet_mod
+        from motcpp_tpu.appearance.osnet import init_params
+        from motcpp_tpu.appearance.reid import make_embed_fn
+
+        crop_hw, D = (256, 128), 512
+        model = getattr(osnet_mod, f"osnet_{args.reid_variant}")(
+            feature_dim=D)
+        cdt = ("bfloat16" if jax.devices()[0].platform == "tpu"
+               else "float32")
+        embed = make_embed_fn(model, init_params(model, crop_hw, seed=0),
+                              compute_dtype=cdt)
+        reid_kw = dict(crop_hw=crop_hw, embed_fn=embed,
+                       crop_budget=args.crop_budget or None)
     svc = TrackingService.from_tracker(
         args.tracker, n_streams=args.streams, max_dets=args.max_dets,
+        emb_dim=512 if args.live_reid else 0,
         tracker_kw=dict(max_tracks=args.max_tracks, lap_impl=args.lap),
+        **reid_kw,
     )
     handles = [svc.attach() for _ in range(n_live)]
 
@@ -113,8 +145,13 @@ def main():
                 continue
             seen = e
             for h in mine:
-                svc.submit(h, synth_frame(rng, args.objects,
-                                          args.max_dets))
+                d = synth_frame(rng, args.objects, args.max_dets)
+                crops = None
+                if crop_hw is not None:
+                    crops = rng.integers(
+                        0, 255, (d.shape[0],) + crop_hw + (3,)
+                    ).astype(np.uint8)
+                svc.submit(h, d, crops=crops)
 
     threads = [threading.Thread(target=feeder, args=(t,), daemon=True)
                for t in range(args.producers)]
@@ -158,7 +195,9 @@ def main():
     cap_p99 = n_live / (p99 * 1e-3) / 30.0
     dev = jax.devices()[0]
     result = {
-        "metric": f"{args.tracker}_serving_tick_latency_ms",
+        "metric": f"{args.tracker}"
+        + ("_livereid" if args.live_reid else "")
+        + "_serving_tick_latency_ms",
         "p50": round(p50, 2), "p90": round(p90, 2),
         "p95": round(p95, 2), "p99": round(p99, 2),
         "max": round(float(ms[-1]), 2), "mean": round(mean, 2),

@@ -751,3 +751,26 @@ def test_service_stats_latency_gauges():
     assert s["tick_ms_last"] > 0 and s["tick_ms_max"] >= s["tick_ms_last"]
     assert s["tick_ms_ewma"] > 0
     assert s["occupancy"] == 0.25  # 1 live of 4 slots
+
+
+def test_serving_latency_live_reid_smoke():
+    """--live-reid drives crops through the mux into the in-graph CNN;
+    the JSON contract must hold for the images-in serving config."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(root / "scripts" / "serving_latency.py"),
+         "--cpu", "--live-reid", "--tracker", "botsort",
+         "--reid-variant", "x0_25", "--streams", "8", "--ticks", "3",
+         "--warmup", "1", "--producers", "1", "--max-tracks", "16",
+         "--max-dets", "4", "--objects", "2"],
+        capture_output=True, text=True, timeout=600, cwd=root,
+    )
+    assert r.returncode == 0, r.stderr
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["metric"] == "botsort_livereid_serving_tick_latency_ms"
+    assert 0 < res["p50"] <= res["p99"]
