@@ -204,3 +204,33 @@ def test_yaml_search_spaces_sampleable():
             yaml_path.stem, max_dets=8, max_tracks=8, **params
         )
         assert tracker is not None
+
+
+def test_mot20_layout_indexing(tmp_path):
+    """MOT20-style sequence dirs (no detector suffix in the name) index
+    through the same dataset class — the reference advertises MOT17/
+    MOT20 support and both use the identical MOT-Challenge layout."""
+    seq = tmp_path / "train" / "MOT20-01"
+    (seq / "img1").mkdir(parents=True)
+    (seq / "det").mkdir()
+    (seq / "img1" / "000001.jpg").write_bytes(b"")
+    (seq / "img1" / "000002.jpg").write_bytes(b"")
+    (seq / "det" / "det.txt").write_text(
+        "1,-1,10,20,40,80,0.9\n2,-1,12,22,40,80,0.8\n")
+    (seq / "seqinfo.ini").write_text(
+        "[Sequence]\nname=MOT20-01\nframeRate=25\nseqLength=2\n")
+    ds = MOT17Dataset(tmp_path / "train")
+    assert ds.sequence_names() == ["MOT20-01"]
+    info = ds.get_sequence_info("MOT20-01")
+    assert info.fps == 25
+    dets = ds.load_detections(info.det_path)
+    assert set(dets) == {1, 2}
+    # external det root: falls back to "<seq_name>.txt" (no detector
+    # suffix to strip)
+    ext = tmp_path / "ext" / "dets"
+    ext.mkdir(parents=True)
+    (ext / "MOT20-01.txt").write_text("1,-1,1,1,5,5,0.5\n")
+    ds2 = MOT17Dataset(tmp_path / "train", det_emb_root=tmp_path / "ext",
+                       model_name="yolox_x")
+    info2 = ds2.get_sequence_info("MOT20-01")
+    assert info2.det_path == ext / "MOT20-01.txt"
