@@ -428,6 +428,63 @@ class TrackingService:
             states = jax.device_put(states, sh)
         self._states = states
 
+    def export_stream(self, handle: StreamHandle):
+        """Snapshot ONE stream's tracker state (host numpy pytree).
+
+        The unit of cross-host rebalancing: a camera moves between
+        services by export → import, while every other slot keeps
+        running (whole-service :attr:`states`/:meth:`restore` would
+        migrate everything at once). Continuation after import is
+        bit-exact (tests/test_serving.py::test_stream_migration).
+        """
+        self._check(handle)
+        if self._states is None:
+            self._states = self._init_states()
+        slot = handle.slot
+        return jax.tree_util.tree_map(
+            lambda a: np.asarray(a[slot]), self._states
+        )
+
+    def import_stream(self, handle: StreamHandle, snapshot) -> None:
+        """Install an :meth:`export_stream` snapshot into this slot.
+
+        The target slot should be freshly attached (or its previous
+        stream's history is overwritten). Clears the slot's
+        attach-time reset flag so the next step CONTINUES the imported
+        stream instead of re-initializing it. Structure/shape-checked
+        against a single-slot template; raises ValueError on mismatch.
+        """
+        self._check(handle)
+        template = self._init_fn()
+        t_struct = jax.tree_util.tree_structure(template)
+        s_struct = jax.tree_util.tree_structure(snapshot)
+        if t_struct != s_struct:
+            raise ValueError(
+                f"stream snapshot structure mismatch: expected "
+                f"{t_struct}, got {s_struct}"
+            )
+        for t, s in zip(jax.tree_util.tree_leaves(template),
+                        jax.tree_util.tree_leaves(snapshot)):
+            if tuple(np.shape(t)) != tuple(np.shape(s)):
+                raise ValueError(
+                    f"stream snapshot shape mismatch: expected "
+                    f"{tuple(np.shape(t))}, got {tuple(np.shape(s))}"
+                )
+        if self._states is None:
+            self._states = self._init_states()
+        slot = handle.slot
+        self._states = jax.tree_util.tree_map(
+            lambda full, s: full.at[slot].set(
+                jnp.asarray(s, full.dtype)
+            ),
+            self._states, snapshot,
+        )
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P("streams"))
+            self._states = jax.device_put(self._states, sh)
+        with self._lock:
+            self._reset[slot] = False
+
     def stats(self) -> dict:
         """Mux counters + tick-latency/occupancy gauges.
 

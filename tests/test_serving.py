@@ -774,3 +774,104 @@ def test_serving_latency_live_reid_smoke():
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["metric"] == "botsort_livereid_serving_tick_latency_ms"
     assert 0 < res["p50"] <= res["p99"]
+
+
+def test_stream_migration():
+    """export_stream/import_stream move ONE camera between services
+    mid-stream with bit-exact continuation, and structure/shape
+    mismatches raise."""
+    import jax
+
+    def frames(n0=0):
+        return [
+            np.array([[10 + 2 * f, 10, 50 + 2 * f, 90, 0.9, 0],
+                      [200, 200 + 3 * f, 260, 320 + 3 * f, 0.85, 0]],
+                     np.float32)
+            for f in range(n0, n0 + 8)
+        ]
+
+    dev = jax.devices()[:1]
+
+    # ground truth: one service runs all 8 frames
+    i_fn, s_fn = _bytetrack_core(max_dets=8, max_tracks=16)
+    ref = TrackingService(i_fn, s_fn, n_streams=2, max_dets=8, devices=dev)
+    h = ref.attach()
+    ref_outs = []
+    for d in frames():
+        ref.submit(h, d)
+        b = ref.step()
+        ref_outs.append(b.outs[h.slot][b.out_masks[h.slot]])
+
+    # migration: 4 frames on svc1, export, import into svc2, 4 more
+    svc1 = TrackingService(i_fn, s_fn, n_streams=2, max_dets=8, devices=dev)
+    h1 = svc1.attach()
+    got = []
+    for d in frames()[:4]:
+        svc1.submit(h1, d)
+        b = svc1.step()
+        got.append(b.outs[h1.slot][b.out_masks[h1.slot]])
+    snap = svc1.export_stream(h1)
+
+    svc2 = TrackingService(i_fn, s_fn, n_streams=2, max_dets=8, devices=dev)
+    # occupy slot 0 with an unrelated stream to prove isolation
+    other = svc2.attach()
+    svc2.submit(other, np.array([[500, 500, 600, 700, 0.9, 0]], np.float32))
+    svc2.step()
+    h2 = svc2.attach()
+    svc2.import_stream(h2, snap)
+    for d in frames()[4:]:
+        svc2.submit(h2, d)
+        b = svc2.step()
+        got.append(b.outs[h2.slot][b.out_masks[h2.slot]])
+
+    for a, b in zip(ref_outs, got):
+        np.testing.assert_array_equal(a, b)
+
+    # structure mismatch raises
+    bad = {"nope": np.zeros(3)}
+    with pytest.raises(ValueError):
+        svc2.import_stream(h2, bad)
+    # shape mismatch raises
+    shaped = jax.tree_util.tree_map(
+        lambda a: np.zeros(np.shape(a) + (1,), np.asarray(a).dtype), snap)
+    with pytest.raises(ValueError):
+        svc2.import_stream(h2, shaped)
+
+
+def test_stream_migration_sharded_target():
+    """Importing a stream into a sharded (8-device) service continues
+    bit-exactly — the cross-host rebalance path of the deployment
+    guide."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+
+    i_fn, s_fn = _bytetrack_core(max_dets=8, max_tracks=16)
+    dev1 = jax.devices()[:1]
+    src = TrackingService(i_fn, s_fn, n_streams=2, max_dets=8, devices=dev1)
+    ref = TrackingService(i_fn, s_fn, n_streams=2, max_dets=8, devices=dev1)
+    hs, hr = src.attach(), ref.attach()
+
+    def frame(f):
+        return np.array([[10 + 2 * f, 10, 50 + 2 * f, 90, 0.9, 0]],
+                        np.float32)
+
+    for f in range(4):
+        src.submit(hs, frame(f)); src.step()
+        ref.submit(hr, frame(f)); ref.step()
+    snap = src.export_stream(hs)
+
+    dst = TrackingService(i_fn, s_fn, n_streams=8, max_dets=8,
+                          devices=jax.devices())
+    hd = dst.attach()
+    dst.import_stream(hd, snap)
+    for f in range(4, 8):
+        dst.submit(hd, frame(f))
+        b = dst.step()
+        ref.submit(hr, frame(f))
+        rb = ref.step()
+        np.testing.assert_array_equal(
+            b.outs[hd.slot][b.out_masks[hd.slot]],
+            rb.outs[hr.slot][rb.out_masks[hr.slot]],
+        )
