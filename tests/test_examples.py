@@ -55,3 +55,10 @@ def test_unknown_tracker_message():
     r = _run("basic_tracking.py", "--tracker", "nope")
     assert r.returncode != 0
     assert "Unknown tracker" in r.stderr and "bytetrack" in r.stderr
+
+
+def test_stream_rebalance():
+    r = _run("stream_rebalance.py", "--frames", "10", "--move-at", "5")
+    assert r.returncode == 0, r.stderr
+    assert "camera moved host A -> host B" in r.stdout, r.stdout
+    assert "bit-exact vs unmigrated run" in r.stdout
