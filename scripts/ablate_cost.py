@@ -70,8 +70,38 @@ def make_stubs(mod):
         # one broadcasted subtraction instead of the full IoU algebra
         return (a[..., :, None, 0] - b[..., None, :, 0]) * 1e-4
 
-    return {"lap": ("solve_lap_masked", lap_stub),
-            "iou": ("iou_batch", iou_stub)}
+    def asso_stub(name, frame_width=1920, frame_height=1080):
+        # dispatch-compatible with get_asso_fn, returns iou_stub
+        return iou_stub
+
+    def kf_predict_stub(x, P, params=None):
+        return x, P
+
+    def kf_update_stub(x, P, z, params=None):
+        return x + 1e-12 * jnp.sum(z, axis=-1, keepdims=True), P
+
+    def ring_stub(obs_ring, obs_age, age, delta_t):
+        # newest-slot gather only (skips the delta_t search loop)
+        return obs_ring[:, 0, :]
+
+    def apply_stub(st_vars, match_t2d, dets, frame_age):
+        # keep the (tiny) data dependency so nothing is DCE'd
+        return tuple(
+            v + 0 * jnp.sum(match_t2d).astype(v.dtype)
+            if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.inexact)
+            else v
+            for v in st_vars
+        )
+
+    return {
+        "lap": ("solve_lap_masked", lap_stub),
+        "iou": ("iou_batch", iou_stub),
+        "asso": ("get_asso_fn", asso_stub),
+        "kf_predict": ("xysr_predict", kf_predict_stub),
+        "kf_update": ("xysr_update", kf_update_stub),
+        "ring": ("_k_previous_obs", ring_stub),
+        "apply": ("_apply_track_update", apply_stub),
+    }
 
 
 def main():
