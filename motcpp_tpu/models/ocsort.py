@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from motcpp_tpu.models import register
 from motcpp_tpu.models.base import BaseTrackerWrapper
-from motcpp_tpu.ops import boxes
+from motcpp_tpu.ops import boxes, select
 from motcpp_tpu.ops.iou import get_asso_fn
 from motcpp_tpu.ops.kalman.xysr import (
     DIM_X,
@@ -116,31 +116,30 @@ def _speed_direction(box_from, box_to):
     return jnp.stack([dy / norm, dx / norm], axis=-1)
 
 
+_WIN_PRIORITY = jnp.int32(2**30)
+
+
 def _k_previous_obs(obs_ring, obs_age, age, delta_t):
     """Vectorized k_previous_obs (ocsort.cpp:24-51): try ages
     age-delta_t .. age-1 in order, else the newest recorded observation,
-    else the -1 placeholder."""
-    K, R, _ = obs_ring.shape
-    has_any = jnp.any(obs_age > _NO_AGE, axis=1)  # (K,)
+    else the -1 placeholder.
 
-    # newest entry as fallback
-    newest_slot = jnp.argmax(obs_age, axis=1)  # (K,)
-    result = jnp.take_along_axis(
-        obs_ring, newest_slot[:, None, None], axis=1
-    )[:, 0, :]
-    found = jnp.zeros((K,), bool)
-    # search targets in reference order (dt = k..1 -> age-k first)
-    for i in range(delta_t):
-        target = age - (delta_t - i)  # (K,)
-        hit = obs_age == target[:, None]  # (K, R)
-        hit_any = jnp.any(hit, axis=1)
-        slot = jnp.argmax(hit, axis=1)
-        val = jnp.take_along_axis(obs_ring, slot[:, None, None], axis=1)[:, 0, :]
-        take = hit_any & ~found
-        result = jnp.where(take[:, None], val, result)
-        found = found | hit_any
-    result = jnp.where(has_any[:, None], result, -1.0)
-    return result  # (K, 5)
+    Single-pass form: ring ages are unique per track (one observation
+    per frame age), so "oldest age inside the window, else newest
+    overall" is one priority argmax + one gather instead of delta_t+1
+    argmax/gather sweeps. Value-exact vs the sequential search.
+    """
+    has_any = jnp.any(obs_age > _NO_AGE, axis=1)  # (K,)
+    dt = age[:, None] - obs_age  # (K, R); _NO_AGE slots -> huge dt
+    in_window = (dt >= 1) & (dt <= delta_t)
+    # in-window: older (larger dt) wins, and any window hit outranks the
+    # newest-observation fallback (scored by raw age, < 2**30)
+    score = jnp.where(in_window, _WIN_PRIORITY + dt, obs_age)
+    slot = jnp.argmax(score, axis=1)  # (K,)
+    result = jnp.take_along_axis(obs_ring, slot[:, None, None], axis=1)[
+        :, 0, :
+    ]
+    return jnp.where(has_any[:, None], result, -1.0)  # (K, 5)
 
 
 def _gated_greedy_or_lap(iou_mat, row_mask, col_mask, thresh):
@@ -212,14 +211,8 @@ def make_ocsort(cfg: OCSortConfig):
         # record observation in the ring
         new_obs = jnp.concatenate([dbox, drow[:, 4:5]], axis=-1)
         slot = obs_ptr % R
-        obs_ring = jnp.where(
-            m[:, None, None],
-            obs_ring.at[jnp.arange(K), slot].set(new_obs),
-            obs_ring,
-        )
-        obs_age = jnp.where(
-            m[:, None], obs_age.at[jnp.arange(K), slot].set(frame_age), obs_age
-        )
+        obs_ring = select.write_slot(obs_ring, slot, new_obs, m)
+        obs_age = select.write_slot_scalar(obs_age, slot, frame_age, m)
         obs_ptr = jnp.where(m, obs_ptr + 1, obs_ptr)
         last_obs = jnp.where(m[:, None], new_obs, last_obs)
 
@@ -301,9 +294,7 @@ def make_ocsort(cfg: OCSortConfig):
             cost1, high, active, -cfg.iou_threshold, impl=cfg.lap_impl
         )
         # post-filter: matched pairs must clear the raw-IoU threshold
-        lap_iou = jnp.take_along_axis(
-            iou_mat, jnp.clip(d2t_lap, 0, K - 1)[:, None], axis=1
-        )[:, 0]
+        lap_iou = select.take_per_row(iou_mat, d2t_lap)
         d2t_lap = jnp.where(
             (d2t_lap >= 0) & (lap_iou >= cfg.iou_threshold), d2t_lap, -1
         )
@@ -342,9 +333,7 @@ def make_ocsort(cfg: OCSortConfig):
                 -iou2, second & gate2, u_trk & gate2, -cfg.iou_threshold,
                 impl=cfg.lap_impl,
             )
-            iou2_sel = jnp.take_along_axis(
-                iou2, jnp.clip(d2t_2, 0, K - 1)[:, None], axis=1
-            )[:, 0]
+            iou2_sel = select.take_per_row(iou2, d2t_2)
             d2t_2 = jnp.where(
                 (d2t_2 >= 0) & (iou2_sel >= cfg.iou_threshold), d2t_2, -1
             )
@@ -369,9 +358,7 @@ def make_ocsort(cfg: OCSortConfig):
             -iou3, u_det & gate3, u_trk & gate3, -cfg.iou_threshold,
             impl=cfg.lap_impl,
         )
-        iou3_sel = jnp.take_along_axis(
-            iou3, jnp.clip(d2t_3, 0, K - 1)[:, None], axis=1
-        )[:, 0]
+        iou3_sel = select.take_per_row(iou3, d2t_3)
         d2t_3 = jnp.where(
             (d2t_3 >= 0) & (iou3_sel >= cfg.iou_threshold), d2t_3, -1
         )
@@ -391,16 +378,8 @@ def make_ocsort(cfg: OCSortConfig):
 
         # --- births -------------------------------------------------------
         free = ~active
-        det_rank = jnp.cumsum(u_det.astype(jnp.int32)) - 1
-        slot_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
         n_new = jnp.sum(u_det.astype(jnp.int32))
-        pos_by_rank = (
-            jnp.full((K,), N, jnp.int32)
-            .at[jnp.where(u_det, det_rank, K)]
-            .set(jnp.arange(N, dtype=jnp.int32), mode="drop")
-        )
-        births = free & (slot_rank < n_new)
-        bdet = jnp.where(births, pos_by_rank[jnp.clip(slot_rank, 0, K - 1)], 0)
+        births, bdet, slot_rank = select.birth_slots(free, u_det)
         brow = dets[bdet]
         bx, bP = xysr_init(boxes.xyxy2xysr(brow[:, :4]), kf)
         x = jnp.where(births[:, None], bx, x)

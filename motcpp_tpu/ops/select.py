@@ -4,9 +4,14 @@ On TPU, XLA lowers small dynamic gathers and scatters
 (``jnp.take_along_axis``, ``x.at[idx].set``) to per-element
 DynamicSlice / DynamicUpdateSlice programs that serialize on the
 scalar unit; a compare-based one-hot select feeding a vectorized
-reduce runs the same operation entirely on the VPU and is several
-times faster at tracker shapes (measured ~6x at S=2048, K=64, N=32 —
-see ``scripts/microbench_select.py``).
+reduce runs the same operation entirely on the VPU and fuses into the
+surrounding elementwise work. Standalone, both forms sit at the
+~20 us dispatch floor (``scripts/microbench_select.py``) — the win
+appears **in context**: switching OC-SORT's hot path to these
+primitives measured 2,288.6 -> 4,780.0 streams@30FPS/chip (2.09x
+end-to-end) at S=2048, K=64, N=32 on TPU v5 lite, because inside the
+fused vmapped frame step the gather/scatter ops break XLA fusions
+that the one-hot forms preserve.
 
 Every helper here is **value-exact** against its gather/scatter
 equivalent when indices are in range (which callers guarantee or
@@ -140,6 +145,22 @@ def rank_match(rows, cols):
         jnp.asarray(0, jnp.int32),
     )
     return paired, col
+
+
+def birth_slots(free, cand, N=None):
+    """Allocate candidate dets (mask over N) to free track slots (mask
+    over K) in detection order — the shared birth pattern of all nine
+    trackers (reference: per-tracker ``new Track(...)`` loops, e.g.
+    src/trackers/sort.cpp:205-212).
+
+    Returns ``(births (K,) bool, det_idx (K,) int32 — 0 where not born,
+    slot_rank (K,) int32 — rank of each free slot, used for id issue)``.
+    Built on :func:`rank_match`; value-exact vs the rank
+    scatter-then-gather formulation it replaces.
+    """
+    births, det_idx = rank_match(free, cand)
+    slot_rank = jnp.cumsum(free.astype(jnp.int32), axis=-1) - 1
+    return births, det_idx, slot_rank
 
 
 def set_at_col(mat, col, value):
