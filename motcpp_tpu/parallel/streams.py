@@ -68,7 +68,8 @@ def make_rollout_embs(step_fn: Callable):
 def make_rollout_general(step_fn: Callable, with_embs: bool = False,
                          with_warps: bool = False,
                          embed_fn: Callable | None = None,
-                         crop_budget: int | None = None):
+                         crop_budget: int | None = None,
+                         emb_cadence: int | None = None):
     """Rollout with optional embedding (T, S, N, D), camera-warp
     (T, S, 2, 3), and raw-crop legs. Warps reach the per-stream step as
     its ``warp`` argument, exercising each tracker's CMC application
@@ -88,11 +89,63 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
     crop_budget highest-confidence VALID crops are embedded via a
     static-shape compaction gather/scatter (appearance.reid.
     embed_valid_crops) — the reference embeds only the frame's actual
-    detections (onnx_backend.cpp:110-133), never its padding."""
+    detections (onnx_backend.cpp:110-133), never its padding.
+
+    emb_cadence=k (live ReID only) amortizes the CNN over frames:
+    stream s embeds its detections only on frames where
+    ``(frame_idx + s) % k == 0`` (staggered round-robin, so every frame
+    embeds exactly S/k streams). Between refreshes a det carries a zero
+    embedding — every tracker treats zero-norm det features as
+    "no appearance info" and associates by motion/IoU for that frame
+    while its per-track EMA/gallery features persist (the reference has
+    no such mode: onnx_backend.cpp:110-133 embeds every frame's dets;
+    this is the TPU throughput lever VERDICT r3 #1c). The rollout then
+    takes a ``frame0`` scalar (first arg after states) so the phase
+    persists across calls (serving ticks are T=1). The CNN batch
+    auto-shrinks to ceil(S*N/k) unless crop_budget caps it lower."""
 
     vstep = jax.vmap(step_fn)
     if crop_budget is not None and embed_fn is None:
         raise ValueError("crop_budget requires embed_fn (live ReID)")
+    if emb_cadence is not None:
+        if embed_fn is None:
+            raise ValueError("emb_cadence requires embed_fn (live ReID)")
+        if int(emb_cadence) < 1:
+            raise ValueError(f"emb_cadence must be >= 1, got {emb_cadence}")
+    use_cadence = emb_cadence is not None and int(emb_cadence) > 1
+    k_cad = int(emb_cadence) if emb_cadence is not None else 1
+
+    def _embed(e, d, m, t, stream_ids=None):
+        from motcpp_tpu.appearance.reid import embed_valid_crops
+
+        budget = crop_budget
+        if use_cadence:
+            S, N = m.shape
+            gate = ((t + stream_ids) % k_cad) == 0  # (S,)
+            m = m & gate[:, None]
+            auto = -(-S // k_cad) * N  # at most ceil(S/k) streams gated
+            budget = min(budget, auto) if budget is not None else auto
+        return embed_valid_crops(embed_fn, e, d, m, budget=budget)
+
+    def rollout_cadence(states, frame0, stream_ids, dets, masks, *extra):
+        # stream_ids (S,) are GLOBAL indices (sharded alongside states)
+        # so the gate — and therefore every emission — is bit-identical
+        # between single-device and sharded execution.
+        def body(carry, inp):
+            st, t = carry
+            d, m, e, *rest = inp
+            e = _embed(e, d, m, t, stream_ids)
+            if with_warps:
+                st, out = vstep(st, d, m, e, rest[0])
+            else:
+                st, out = vstep(st, d, m, e)
+            return (st, t + 1), out
+
+        (st, _), outs = lax.scan(
+            body, (states, jnp.asarray(frame0, jnp.int32)),
+            (dets, masks) + tuple(extra),
+        )
+        return st, outs
 
     def rollout(states, dets, masks, *extra):
         def body(st, inp):
@@ -100,10 +153,7 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
             if with_embs:
                 e = rest[0]
                 if embed_fn is not None:
-                    from motcpp_tpu.appearance.reid import embed_valid_crops
-
-                    e = embed_valid_crops(embed_fn, e, d, m,
-                                          budget=crop_budget)
+                    e = _embed(e, d, m, 0)
                 if with_warps:
                     st, out = vstep(st, d, m, e, rest[1])
                 else:
@@ -116,7 +166,7 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
 
         return lax.scan(body, states, (dets, masks) + tuple(extra))
 
-    return rollout
+    return rollout_cadence if use_cadence else rollout
 
 
 class MultiStreamRunner:
@@ -143,6 +193,7 @@ class MultiStreamRunner:
         with_warps: bool = False,
         embed_fn: Callable | None = None,
         crop_budget: int | None = None,
+        emb_cadence: int | None = None,
     ):
         """embed_fn (appearance.reid.make_embed_fn): switch the
         embedding leg to live ReID — run() then takes raw uint8 crops
@@ -155,7 +206,13 @@ class MultiStreamRunner:
         highest-confidence valid crops. With budget >= the number of
         valid detections, emissions are identical to the uncapped path;
         overflow detections fall back to motion-only association for
-        that frame."""
+        that frame.
+
+        emb_cadence=k: embed each stream's crops only every k-th frame
+        (staggered per stream; see make_rollout_general) — the CNN cost
+        drops ~k x while track features ride each tracker's EMA/gallery.
+        The frame phase is carried on the runner across run() calls and
+        reset by reset(); k=1 is bit-identical to no cadence."""
         self.n_streams = int(n_streams)
         self.devices = devices if devices is not None else jax.devices()
         self.with_embs = bool(with_embs) or embed_fn is not None
@@ -178,9 +235,15 @@ class MultiStreamRunner:
                     f"{n_dev} devices"
                 )
             shard_budget = int(crop_budget) // n_dev
+        self.emb_cadence = int(emb_cadence) if emb_cadence else 1
+        self._use_cadence = self.emb_cadence > 1
+        if self._use_cadence and embed_fn is None:
+            raise ValueError("emb_cadence requires embed_fn (live ReID)")
+        self._frame0 = 0
         rollout = make_rollout_general(
             step_fn, with_embs=self.with_embs, with_warps=self.with_warps,
             embed_fn=embed_fn, crop_budget=shard_budget,
+            emb_cadence=emb_cadence,
         )
 
         if n_dev > 1:
@@ -189,10 +252,15 @@ class MultiStreamRunner:
             spec_state = P("streams")
             spec_t = P(None, "streams")
             n_in = 2 + int(self.with_embs) + int(self.with_warps)
+            in_specs = (spec_state,)
+            if self._use_cadence:
+                # frame0 replicated, global stream_ids sharded like states
+                in_specs = in_specs + (P(), P("streams"))
+            in_specs = in_specs + (spec_t,) * n_in
             rollout = shard_map(
                 rollout,
                 mesh=self.mesh,
-                in_specs=(spec_state,) + (spec_t,) * n_in,
+                in_specs=in_specs,
                 out_specs=(spec_state, (spec_t, spec_t)),
                 # the LAP while_loop carries start as replicated constants
                 # and become stream-varying inside the loop; skip the
@@ -244,6 +312,14 @@ class MultiStreamRunner:
             args = tuple(
                 jax.device_put(jnp.asarray(a), sharding) for a in args
             )
+        if self._use_cadence:
+            ids = jnp.arange(self.n_streams, dtype=jnp.int32)
+            if len(self.devices) > 1:
+                ids = jax.device_put(
+                    ids, NamedSharding(self.mesh, P("streams"))
+                )
+            args = (jnp.int32(self._frame0), ids) + args
+            self._frame0 += int(np.shape(dets)[0])  # advance by T frames
         self._states, outs = self._rollout(states, *args)
         return outs
 
@@ -259,3 +335,4 @@ class MultiStreamRunner:
 
     def reset(self):
         self._states = None
+        self._frame0 = 0
