@@ -1,5 +1,7 @@
 """Appearance layer tests: crop pipeline, OSNet forward, backend contract."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -326,3 +328,72 @@ def test_reid_backend_dw_impl_shift():
     assert cos >= 0.999, cos
     with _pytest.raises(ValueError):
         ReIDBackend(dw_impl="fast")
+
+
+class TestQuantizedInference:
+    """Int8 quantized OSNet (appearance/quant.py, VERDICT r3 #1b).
+
+    The reference's ReID inference is float32 ONNX-Runtime
+    (onnx_backend.cpp:159-223); the TPU throughput path folds BN and
+    runs the pointwise/stem convs int8 on the MXU. Three pins:
+    structure (manual folded f32 forward == flax apply), quality (int8
+    cosine vs f32 >= 0.995, the same bar as the bf16 pin), and
+    drop-in contract (make_embed_fn_int8 matches make_embed_fn's
+    preprocessing and normalization).
+    """
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from motcpp_tpu.appearance.osnet import init_params, osnet_x0_25
+
+        model = osnet_x0_25(feature_dim=64)
+        hw = (64, 32)
+        variables = init_params(model, hw, seed=0)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (4,) + hw + (3,)), jnp.float32)
+        return model, variables, x, hw
+
+    def test_folded_f32_matches_flax(self, setup):
+        from motcpp_tpu.appearance.quant import (
+            fold_osnet,
+            forward_folded_f32,
+        )
+
+        model, variables, x, _ = setup
+        ref = model.apply(variables, x, train=False)
+        man = forward_folded_f32(fold_osnet(variables), x)
+        np.testing.assert_allclose(
+            np.asarray(man), np.asarray(ref), atol=1e-4
+        )
+
+    def test_int8_cosine_agreement(self, setup):
+        from motcpp_tpu.appearance.quant import forward_int8, quantize_osnet
+
+        model, variables, x, _ = setup
+        ref = np.asarray(model.apply(variables, x, train=False))
+        q = np.asarray(forward_int8(
+            quantize_osnet(model, variables, calib_crops=x), x
+        ))
+        rn = ref / (np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-9)
+        qn = q / (np.linalg.norm(q, axis=-1, keepdims=True) + 1e-9)
+        cos = (rn * qn).sum(-1)
+        assert (cos >= 0.995).all(), cos
+
+    def test_embed_fn_int8_drop_in(self, setup):
+        """Same uint8-BGR-crops contract as make_embed_fn; embeddings
+        L2-normalized and cosine-close to the f32 embed_fn."""
+        from motcpp_tpu.appearance.quant import make_embed_fn_int8
+        from motcpp_tpu.appearance.reid import make_embed_fn
+
+        model, variables, _, hw = setup
+        rng = np.random.default_rng(1)
+        crops = jnp.asarray(
+            rng.integers(0, 255, (6,) + hw + (3,)), jnp.uint8
+        )
+        e_f = np.asarray(jax.jit(make_embed_fn(model, variables))(crops))
+        e_q = np.asarray(jax.jit(make_embed_fn_int8(model, variables))(crops))
+        np.testing.assert_allclose(
+            np.linalg.norm(e_q, axis=-1), 1.0, atol=1e-4
+        )
+        cos = (e_f * e_q).sum(-1)
+        assert (cos >= 0.995).all(), cos
