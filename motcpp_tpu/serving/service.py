@@ -70,7 +70,8 @@ class ServedBatch:
 def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
                       with_embs: bool, with_warps: bool = False,
                       embed_fn: Callable | None = None,
-                      crop_budget: int | None = None):
+                      crop_budget: int | None = None,
+                      emb_cadence: int | None = None):
     """Build the present/reset-gated batched step.
 
     Returns ``svc(states, dets, masks, present, reset[, embs][, warps])
@@ -85,15 +86,31 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
     S*N crop set — live ReID at serving scale (the reference computes
     features inside update() per stream on the host,
     onnx_backend.cpp:110-223 via botsort.cpp:281).
+
+    emb_cadence=k (live ReID only): embed each stream's crops only on
+    ticks where ``(tick + slot) % k == 0`` — the staggered round-robin
+    of parallel.streams.make_rollout_general, here at the serving
+    boundary. The svc then takes two extra args after ``reset``:
+    ``tick`` (replicated int32 scalar) and ``stream_ids`` ((S,) int32,
+    sharded like states). The CNN batch shrinks ~k x per tick while
+    track features ride each tracker's EMA/gallery; skipped streams'
+    dets associate by motion for that tick (zero embeddings).
     """
 
     vstep = jax.vmap(step_fn)
+    use_cadence = emb_cadence is not None and int(emb_cadence) > 1
+    if use_cadence and embed_fn is None:
+        raise ValueError("emb_cadence requires live ReID (embed_fn)")
+    k_cad = int(emb_cadence) if emb_cadence else 1
 
     def _sel(mask, a, b):
         m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
         return jnp.where(m, a, b)
 
     def svc(states, dets, masks, present, reset, *extra):
+        if use_cadence:
+            tick, stream_ids, *extra = extra
+            extra = tuple(extra)
         S = dets.shape[0]
         fresh = jax.vmap(lambda _: init_fn())(jnp.arange(S))
         states = jax.tree_util.tree_map(
@@ -122,9 +139,15 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
         if with_embs and embed_fn is not None:
             from motcpp_tpu.appearance.reid import embed_valid_crops
 
-            e = embed_valid_crops(embed_fn, extra[0], dets, masks,
-                                  budget=crop_budget)
-            extra = (e,) + extra[1:]
+            emb_masks, budget = masks, crop_budget
+            if use_cadence:
+                gate = ((tick + stream_ids) % k_cad) == 0  # (S,)
+                emb_masks = masks & gate[:, None]
+                auto = -(-S // k_cad) * dets.shape[1]
+                budget = min(budget, auto) if budget is not None else auto
+            e = embed_valid_crops(embed_fn, extra[0], dets, emb_masks,
+                                  budget=budget)
+            extra = (e,) + tuple(extra[1:])
         if with_embs and with_warps:
             new_states, (outs, out_masks) = vstep(
                 states, dets, masks, extra[0], extra[1]
@@ -180,7 +203,8 @@ class TrackingService:
                  prefer_native_mux: bool = True, with_warps: bool = False,
                  crop_hw: tuple | None = None,
                  embed_fn: Callable | None = None,
-                 crop_budget: int | None = None):
+                 crop_budget: int | None = None,
+                 emb_cadence: int | None = None):
         """crop_hw + embed_fn switch the service to LIVE ReID: producers
         submit raw (n, Hc, Wc, 3) uint8 detection crops instead of
         embeddings (the mux carries them natively), and the CNN runs
@@ -191,7 +215,12 @@ class TrackingService:
         (appearance.reid.embed_valid_crops; split evenly over devices,
         must divide). Ticks with more valid detections than the budget
         embed the highest-confidence ones and let the rest associate by
-        motion only — bounded tick latency under detection floods."""
+        motion only — bounded tick latency under detection floods.
+
+        emb_cadence=k: embed each stream's crops only every k-th tick
+        (staggered per slot; see make_service_step) — divides the
+        per-tick CNN cost ~k x, the real-time live-ReID lever
+        (docs/deployment.md SLO table)."""
         self.n_streams = int(n_streams)
         self.max_dets = int(max_dets)
         self.emb_dim = int(emb_dim)
@@ -228,10 +257,15 @@ class TrackingService:
                     f"{n_dev} devices"
                 )
             shard_budget = int(crop_budget) // n_dev
+        self.emb_cadence = int(emb_cadence) if emb_cadence else 1
+        self._use_cadence = self.emb_cadence > 1
+        if self._use_cadence and embed_fn is None:
+            raise ValueError("emb_cadence requires live ReID "
+                             "(crop_hw + embed_fn)")
         svc = make_service_step(
             init_fn, step_fn, with_embs=emb_dim > 0,
             with_warps=self.with_warps, embed_fn=embed_fn,
-            crop_budget=shard_budget,
+            crop_budget=shard_budget, emb_cadence=emb_cadence,
         )
 
         if n_dev > 1:
@@ -240,10 +274,15 @@ class TrackingService:
             self.mesh = Mesh(np.asarray(self.devices), ("streams",))
             sp = P("streams")
             n_in = 4 + int(emb_dim > 0) + int(self.with_warps)
+            in_specs = (sp,) * 5
+            if self._use_cadence:
+                # tick replicated, global slot ids sharded like states
+                in_specs = in_specs + (P(), sp)
+            in_specs = in_specs + (sp,) * (n_in - 4)
             svc = shard_map(
                 svc,
                 mesh=self.mesh,
-                in_specs=(sp,) * (n_in + 1),
+                in_specs=in_specs,
                 out_specs=(sp, (sp, sp)),
                 # slot-local while_loops (LAP) start from replicated
                 # constants that become stream-varying; slots never
@@ -346,6 +385,12 @@ class TrackingService:
             jnp.asarray(dets), jnp.asarray(mask),
             jnp.asarray(present), jnp.asarray(reset),
         ]
+        cadence_args = []
+        if self._use_cadence:
+            cadence_args = [
+                jnp.int32(self._ticks),
+                jnp.arange(self.n_streams, dtype=jnp.int32),
+            ]
         if self._embed_fn is not None:
             args.append(jnp.asarray(crops))
         elif self.emb_dim > 0:
@@ -355,6 +400,10 @@ class TrackingService:
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P("streams"))
             args = [jax.device_put(a, sh) for a in args]
+            if cadence_args:
+                cadence_args[1] = jax.device_put(cadence_args[1], sh)
+        # cadence args go between reset and the embs/crops/warps legs
+        args = args[:4] + cadence_args + args[4:]
         self._states, (outs, out_masks) = self._svc(self._states, *args)
         self._ticks += 1
         batch = ServedBatch(

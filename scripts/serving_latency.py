@@ -78,6 +78,12 @@ def main():
                     "SLO of the images-in serving config")
     ap.add_argument("--reid-variant", default="x1_0",
                     choices=["x1_0", "x0_75", "x0_5", "x0_25"])
+    ap.add_argument("--emb-cadence", type=int, default=0,
+                    help="embed each stream's crops only every k-th tick "
+                    "(staggered per slot; 0/1 = every tick)")
+    ap.add_argument("--reid-quant", action="store_true",
+                    help="run the live-ReID CNN int8-quantized "
+                    "(appearance/quant.py)")
     ap.add_argument("--crop-budget", type=int, default=0,
                     help="per-tick cap on crops embedded (0 = all slots)")
     args = ap.parse_args()
@@ -110,12 +116,18 @@ def main():
         crop_hw, D = (256, 128), 512
         model = getattr(osnet_mod, f"osnet_{args.reid_variant}")(
             feature_dim=D)
-        cdt = ("bfloat16" if jax.devices()[0].platform == "tpu"
-               else "float32")
-        embed = make_embed_fn(model, init_params(model, crop_hw, seed=0),
-                              compute_dtype=cdt)
+        variables = init_params(model, crop_hw, seed=0)
+        if args.reid_quant:
+            from motcpp_tpu.appearance.quant import make_embed_fn_int8
+
+            embed = make_embed_fn_int8(model, variables)
+        else:
+            cdt = ("bfloat16" if jax.devices()[0].platform == "tpu"
+                   else "float32")
+            embed = make_embed_fn(model, variables, compute_dtype=cdt)
         reid_kw = dict(crop_hw=crop_hw, embed_fn=embed,
-                       crop_budget=args.crop_budget or None)
+                       crop_budget=args.crop_budget or None,
+                       emb_cadence=args.emb_cadence or None)
     svc = TrackingService.from_tracker(
         args.tracker, n_streams=args.streams, max_dets=args.max_dets,
         emb_dim=512 if args.live_reid else 0,
@@ -197,6 +209,11 @@ def main():
     result = {
         "metric": f"{args.tracker}"
         + ("_livereid" if args.live_reid else "")
+        + (f"_{args.reid_variant}" if args.live_reid
+           and args.reid_variant != "x1_0" else "")
+        + ("_int8" if args.live_reid and args.reid_quant else "")
+        + (f"_cb{args.crop_budget}" if args.crop_budget else "")
+        + (f"_ec{args.emb_cadence}" if args.emb_cadence > 1 else "")
         + "_serving_tick_latency_ms",
         "p50": round(p50, 2), "p90": round(p90, 2),
         "p95": round(p95, 2), "p99": round(p99, 2),

@@ -590,3 +590,29 @@ def test_emb_cadence_gate_embeds_exactly_the_phased_streams():
                 assert (norms[t, s] > 0.9).all(), (t, s)
             else:
                 assert (norms[t, s] == 0).all(), (t, s)
+
+
+@pytest.mark.slow
+def test_dryrun_multihost_two_processes():
+    """Two-process jax.distributed dryrun (VERDICT r3 #9): one sharded
+    multi-stream step spanning process boundaries over a localhost TCP
+    coordinator (the DCN mechanism), per-stream emissions bit-exact vs
+    single-process. Skips gracefully where the distributed runtime is
+    unavailable (the script itself asserts correctness)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parents[1] / "scripts" / "dryrun_multihost.py"
+    proc = subprocess.run(
+        [sys.executable, str(script), "--procs", "2", "--port", "12931"],
+        capture_output=True, text=True, timeout=540,
+    )
+    out = proc.stdout + proc.stderr
+    if proc.returncode != 0 and (
+        "distributed" in out and "unavailable" in out
+        or "Address already in use" in out
+    ):
+        pytest.skip(f"distributed runtime unavailable: {out[-200:]}")
+    assert proc.returncode == 0, out[-2000:]
+    assert "dryrun_multihost OK" in out
