@@ -333,10 +333,20 @@ def bench_livereid(tracker: str, args) -> dict:
                                emb_cadence=cadence or None)
     rng = np.random.default_rng(0)
     dets, masks = synth_stream_dets(rng, T, S, N, n_obj=14)
-    crops = rng.integers(0, 255, (T, S, N) + hw + (3,)).astype(np.uint8)
     dets_j = jnp.asarray(dets)
     masks_j = jnp.asarray(masks)
-    crops_j = jnp.asarray(crops)
+    # generate ONE frame of crops on the host and tile the time axis on
+    # device (rolled along the stream axis so frames differ): the full
+    # (T, S, N, 256, 128, 3) tensor is ~0.8 GB — generating and
+    # tunnel-transferring it from the host dominates the row's wall
+    # clock on a small host, while the CNN cost being measured is
+    # identical either way
+    crops0 = jnp.asarray(
+        rng.integers(0, 255, (S, N) + hw + (3,)).astype(np.uint8)
+    )
+    crops_j = jnp.stack(
+        [jnp.roll(crops0, t, axis=0) for t in range(T)]
+    ).block_until_ready()
 
     dt, _ = _time_rollout(
         runner, args, f"{tracker}_livereid", (dets_j, masks_j),

@@ -44,7 +44,12 @@ SCOREBOARD = {
     "ocsort": dict(kw={}, embs=False),
     "ucmctrack": dict(kw=dict(dt=1.0 / 30), embs=False),
     "deepocsort": dict(kw={}, embs=True),
-    "strongsort": dict(kw={}, embs=True),
+    # the eval tool overrides StrongSORT's header defaults with the
+    # Python-parity values min_conf=0.6, max_cos_dist=0.4
+    # (motcpp_eval.cpp:210-212 vs strongsort.hpp:317-318); the header
+    # defaults admit occlusion-noised embeddings into the tight 0.2
+    # gate and 2.3x the ID switches on this scene (docs/accuracy.md)
+    "strongsort": dict(kw=dict(min_conf=0.6, max_cos_dist=0.4), embs=True),
     "botsort": dict(kw=dict(with_reid=True), embs=True),
     "boosttrack": dict(
         kw=dict(use_rich_s=True, use_sb=True, use_vt=True, with_reid=True),
@@ -58,8 +63,13 @@ SCOREBOARD = {
 }
 
 
-def run_scoreboard(n_frames=600, trackers=None, progress=print):
-    """Run every scoreboard row; returns {name: metrics-dict}."""
+def run_scoreboard(n_frames=600, trackers=None, progress=print,
+                   pan_amp=None, use_warps=True):
+    """Run every scoreboard row; returns {name: metrics-dict}.
+
+    pan_amp/use_warps: the replica comparison (scripts/ref_replica/)
+    runs on the no-pan scene (pan_amp=(0, 0)) without warp injection,
+    because the reference binary's internal ECC sees black frames."""
     import motcpp_tpu
     from motcpp_tpu.data.synthetic import ablation_scene
     from motcpp_tpu.metrics import (
@@ -73,7 +83,10 @@ def run_scoreboard(n_frames=600, trackers=None, progress=print):
         raise SystemExit(
             f"unknown tracker(s) {unknown}; valid: {sorted(SCOREBOARD)}"
         )
-    gt, dets, embs, warps = ablation_scene(n_frames=n_frames)
+    scene_kw = {} if pan_amp is None else dict(pan_amp=tuple(pan_amp))
+    gt, dets, embs, warps = ablation_scene(n_frames=n_frames, **scene_kw)
+    if not use_warps:
+        warps = {t: None for t in warps}
     img = np.zeros((1080, 1920, 3), np.uint8)
     results = {}
     for name in trackers or SCOREBOARD:

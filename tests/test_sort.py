@@ -201,3 +201,88 @@ def test_functional_core_vmap_streams():
     states, (out, om) = vstep(states, jnp.asarray(dets), jnp.asarray(mask))
     assert out.shape == (S, 8, 8)
     assert np.asarray(om).sum() == S
+
+
+class TestOBBTracking:
+    """End-to-end oriented-box tracking (VERDICT r3 #7).
+
+    The reference's OBB flow is de-facto degenerate: with 7-col input
+    [cx, cy, w, h, angle, conf, cls] its SORT reads dets(i, 4) — the
+    ANGLE — as the confidence (sort.cpp:112) and feeds [cx, cy, w, h]
+    to a KF that expects corners (sort.cpp:60-76). This implementation
+    instead gives OBB input a working path: rotated-IoU association,
+    angle carried in state, (M, 9) output rows.
+    """
+
+    @staticmethod
+    def _scene(T=30, n=3):
+        """n rotating, translating oriented boxes; returns per-frame
+        (n, 7) dets in a fixed object order."""
+        frames = []
+        for t in range(T):
+            rows = []
+            for k in range(n):
+                cx = 200 + 300 * k + 4.0 * t
+                cy = 300 + 50 * k + 2.0 * t
+                ang = 0.3 * k + 0.05 * t  # slow rotation
+                rows.append([cx, cy, 120, 60, ang, 0.9, 0])
+            frames.append(np.array(rows, np.float32))
+        return frames
+
+    def test_stable_ids_on_rotating_scene(self):
+        from motcpp_tpu.models.sort import Sort
+
+        tr = Sort(max_tracks=16, max_dets=8, min_hits=1, max_age=2)
+        img = np.zeros((1080, 1920, 3), np.uint8)
+        per_obj_ids = [set() for _ in range(3)]
+        for t, dets in enumerate(self._scene()):
+            out = tr.update(dets, img)
+            assert tr.is_obb and tr.cfg.is_obb
+            assert out.shape[1] == 9, out.shape
+            assert np.isfinite(out).all()
+            if t == 0:
+                continue
+            assert out.shape[0] == 3
+            # match emissions back to objects by center distance
+            for row in out:
+                k = int(np.argmin(
+                    [abs(row[0] - (200 + 300 * j + 4.0 * t)) for j in range(3)]
+                ))
+                per_obj_ids[k].add(int(row[5]))
+                # angle tracked (snap-to-measurement): matches the det
+                assert abs(row[4] - (0.3 * k + 0.05 * t)) < 1e-4
+        for k, ids in enumerate(per_obj_ids):
+            assert len(ids) == 1, (k, ids)
+
+    def test_rotated_association_disambiguates_crossing(self):
+        """Two heavily-overlapping boxes distinguished ONLY by angle:
+        axis-aligned IoU could not keep them apart; rotated IoU must."""
+        from motcpp_tpu.models.sort import Sort
+
+        tr = Sort(max_tracks=8, max_dets=4, min_hits=1, max_age=2)
+        img = np.zeros((1080, 1920, 3), np.uint8)
+        a = [500, 500, 200, 40, 0.0, 0.9, 0]
+        b = [500, 500, 200, 40, np.pi / 2, 0.9, 0]
+        out = tr.update(np.array([a, b], np.float32), img)
+        ids0 = {int(r[5]): r[4] for r in out}
+        assert len(ids0) == 2
+        # next frame: same two boxes, slightly rotated, swapped order
+        a2 = [500, 500, 200, 40, 0.05, 0.9, 0]
+        b2 = [500, 500, 200, 40, np.pi / 2 + 0.05, 0.9, 0]
+        out = tr.update(np.array([b2, a2], np.float32), img)
+        ids1 = {int(r[5]): r[4] for r in out}
+        assert set(ids1) == set(ids0)
+        for tid, ang in ids1.items():
+            # each ID stayed with its own orientation family
+            assert abs(ang - ids0[tid]) < 0.2, (tid, ang, ids0[tid])
+
+    def test_aabb_mode_untouched(self):
+        """6-col input still produces the (M, 8) AABB contract."""
+        from motcpp_tpu.models.sort import Sort
+
+        tr = Sort(max_tracks=8, max_dets=4, min_hits=1)
+        img = np.zeros((480, 640, 3), np.uint8)
+        out = tr.update(
+            np.array([[10, 10, 50, 90, 0.9, 0]], np.float32), img
+        )
+        assert not tr.cfg.is_obb and out.shape == (1, 8)
