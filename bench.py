@@ -158,11 +158,17 @@ def _time_rollout(runner, args, label, run_args, run_kw):
     """One timing protocol for every row: compile+warmup rollout, then
     args.repeats steady-state rollouts.
 
-    Returns (dt_per_rollout_s, emissions). NOTE: materializes a scalar
-    after each rollout, not just block_until_ready — under the axon
-    remote platform an aborted computation "completes" instantly and
-    only raises when values are fetched, which would silently produce
-    nonsense timings otherwise."""
+    Returns (dt_per_rollout_s, emissions). Validation vs timing split:
+    under the axon remote platform an aborted computation "completes"
+    instantly and only raises when values are fetched — but host->
+    device FETCHES through the tunnel have multi-second (observed up
+    to minutes) first-touch tail latency, so fetching inside the timed
+    loop measures the tunnel, not the chip. Each timed repeat therefore
+    only block_until_ready()s; ONE validating fetch after the loop
+    raises if any repeat was silently aborted (timings are then moot
+    because the raise aborts the row)."""
+    import jax
+
     t0 = time.time()
     out = runner.run(*run_args, **run_kw)
     emissions = int(np.asarray(out[1]).sum())
@@ -177,8 +183,10 @@ def _time_rollout(runner, args, label, run_args, run_kw):
     t0 = time.time()
     for _ in range(args.repeats):
         out = runner.run(*run_args, **run_kw)
-        float(np.asarray(out[0][-1]).ravel()[0])  # force + validate
-    return (time.time() - t0) / args.repeats, emissions
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / args.repeats
+    float(np.asarray(out[0][-1]).ravel()[0])  # validate the last repeat
+    return dt, emissions
 
 
 def bench_one(tracker: str, args, overrides: dict | None = None,
@@ -203,7 +211,12 @@ def bench_one(tracker: str, args, overrides: dict | None = None,
     from motcpp_tpu.parallel import MultiStreamRunner
 
     init_fn, step_fn = build_tracker_fns(tracker, args)
-    S = args.streams or DEFAULT_STREAMS.get(tracker, DEFAULT_STREAMS_OTHER)
+    # live-CMC rows carry a (T, S, h, w) frame tensor on device; cap S
+    # so it stays a few GB of HBM (the tracker state is tiny beside it)
+    cmc_live = str(getattr(args, "cmc", "") or "") in ("ecc", "sof")
+    S = args.streams or (
+        512 if cmc_live else DEFAULT_STREAMS.get(tracker, DEFAULT_STREAMS_OTHER)
+    )
     T, N = args.frames, args.max_dets
     rng = np.random.default_rng(0)
     dets, masks = synth_stream_dets(rng, T, S, N, n_obj=args.objects)
@@ -211,12 +224,22 @@ def bench_one(tracker: str, args, overrides: dict | None = None,
     import inspect
 
     with_embs = args.emb_dim > 0
-    with_warps = bool(getattr(args, "cmc", False)) and (
-        "warp" in inspect.signature(step_fn).parameters
-    )
+    cmc_mode = str(getattr(args, "cmc", "") or "")
+    warp_capable = "warp" in inspect.signature(step_fn).parameters
+    with_warps = cmc_mode == "warps" and warp_capable
+    cmc_fn = None
+    cmc_scale = 0.15  # the reference's CMC preprocessing scale
+    if cmc_mode in ("ecc", "sof") and warp_capable:
+        # LIVE in-graph CMC: per-frame grayscale at the reference's
+        # 0.15x preprocess scale (cmc.cpp:8-26) through ecc_jax_batch /
+        # sof_jax_batch inside the scanned program — the reference runs
+        # cv2 per frame per tracker on the host (ecc.cpp:22-98)
+        from motcpp_tpu.motion.cmc import ecc_jax_batch, sof_jax_batch
+
+        cmc_fn = ecc_jax_batch if cmc_mode == "ecc" else sof_jax_batch
     runner = MultiStreamRunner(
         init_fn, step_fn, n_streams=S, with_embs=with_embs,
-        with_warps=with_warps,
+        with_warps=with_warps, cmc_fn=cmc_fn, cmc_scale=cmc_scale,
     )
     dets_j = jnp.asarray(dets)
     masks_j = jnp.asarray(masks)
@@ -236,6 +259,36 @@ def bench_one(tracker: str, args, overrides: dict | None = None,
         w[..., 1, 1] = np.cos(ang)
         w[..., :, 2] = txy
         run_kw["warps"] = jnp.asarray(w)
+    if cmc_fn is not None:
+        # per-stream panning textured frames, generated ON DEVICE (a
+        # (T, S, h, w) host tensor would ride the tunnel for minutes):
+        # multi-scale noise textures panned by a per-stream velocity
+        fh, fw = int(1080 * cmc_scale), int(1920 * cmc_scale)
+        pans = rng.integers(0, 4, S)  # px/frame at CMC scale
+        wide = fw + int(pans.max()) * T
+        tex = jnp.zeros((S, fh, wide), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        for blk in (8, 16, 32):
+            k1, key = jax.random.split(key)
+            small = jax.random.uniform(
+                k1, (S, fh // blk + 1, wide // blk + 1), jnp.float32
+            )
+            up = jnp.repeat(jnp.repeat(small, blk, 1), blk, 2)
+            tex = tex + up[:, :fh, :wide]
+        tex = tex / 3.0 * 255.0
+        pans_j = jnp.asarray(pans, jnp.int32)
+
+        @jax.jit
+        def make_frames(tex):
+            def frame_t(t):
+                def one(s):
+                    return jax.lax.dynamic_slice(
+                        tex[s], (0, pans_j[s] * t), (fh, fw)
+                    )
+                return jax.vmap(one)(jnp.arange(S))
+            return jax.vmap(frame_t)(jnp.arange(T))
+
+        run_kw["frames"] = make_frames(tex).block_until_ready()
 
     # steady state reuses carry state — continuous streaming
     dt, _ = _time_rollout(
@@ -250,7 +303,8 @@ def bench_one(tracker: str, args, overrides: dict | None = None,
         f"# [{tracker}{metric_suffix}] {dev.device_kind}: "
         f"{agg_fps:,.0f} aggregate FPS, "
         f"{dt/T*1e3:.2f} ms/frame-batch, S={S} K={args.max_tracks} "
-        f"N={args.max_dets}",
+        f"N={args.max_dets}"
+        + (f" cmc={cmc_mode}" if cmc_mode else ""),
         file=sys.stderr,
     )
     return {
@@ -458,10 +512,15 @@ def main():
         "--reid-variant experiments",
     )
     ap.add_argument(
-        "--cmc", action="store_true",
-        help="feed per-frame camera-jitter warps (T, S, 2, 3) through "
-        "the rollout (CMC-application benchmark; warp-capable trackers "
-        "only — ignored for the rest)",
+        "--cmc", nargs="?", const="warps", default="",
+        choices=["", "warps", "ecc", "sof"],
+        help="CMC leg: 'warps' feeds precomputed per-frame camera-jitter "
+        "warps (T, S, 2, 3) through the rollout (CMC-application "
+        "benchmark); 'ecc'/'sof' run LIVE in-graph estimation "
+        "(motion.cmc.ecc_jax_batch / sof_jax_batch) from 0.15x-scale "
+        "grayscale frames generated on device — the full "
+        "frames-to-warps-to-tracker path the reference runs per frame "
+        "on the host (ecc.cpp:22-98). Warp-capable trackers only",
     )
     args = ap.parse_args()
 
@@ -536,6 +595,11 @@ def main():
             # docs/benchmarking.md) unless --emb-cadence overrides.
             import copy as _copy
 
+            # live-CMC row: frames -> ecc_jax_batch -> warps -> tracker,
+            # all in-graph (ECC is StrongSORT's default CMC; the
+            # reference runs it per frame on the host, ecc.cpp:22-98)
+            emit(bench_one("strongsort", args,
+                           dict(streams=512, cmc="ecc"), "_cmc_ecc"))
             raw = _copy.copy(args)
             raw.emb_cadence = 1
             emit(bench_livereid("strongsort", raw))

@@ -5,6 +5,14 @@ this package holds the image-space CMC estimators that produce the
 (2, 3) affine warps consumed by the tracker cores.
 """
 
-from motcpp_tpu.motion.cmc import ECC, SOF, SOFJax, create_cmc, sof_jax_batch
+from motcpp_tpu.motion.cmc import (
+    ECC,
+    ECCJax,
+    SOF,
+    SOFJax,
+    create_cmc,
+    ecc_jax_batch,
+    sof_jax_batch,
+)
 
 __all__ = ["ECC", "SOF", "SOFJax", "create_cmc", "sof_jax_batch"]

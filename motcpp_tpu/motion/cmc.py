@@ -20,6 +20,16 @@ reference's (2, 3) affine warp contract (identity on failure):
     least-squares partial-affine fit with one residual-trim pass, all in
     jnp (fixed shapes, jittable). This is the estimator used when
     OpenCV is unavailable or ``prefer_jax`` is set.
+  * :class:`ECCJax` / :func:`ecc_jax_batch` — TPU-native ECC
+    (translation model, like the reference's MOTION_TRANSLATION
+    default, ecc.cpp:36): phase-correlation initialisation (FFT cross
+    power spectrum, robust to large shifts the Gauss-Newton basin would
+    miss) + fixed-iteration ECC refinement (Evangelidis-Psarakis
+    zero-mean-correlation Gauss-Newton) for sub-pixel accuracy, all
+    jnp/jittable. ``ecc_jax_batch`` vmaps the core over a stream axis
+    so serving estimates every stream's warp in ONE device pass — the
+    reference runs cv2.findTransformECC per frame per tracker on the
+    host (ecc.cpp:22-98).
 
 Precomputed warps can always be injected directly at the tracker API
 (``tracker.update(..., warp=...)`` via the functional cores), matching
@@ -319,6 +329,200 @@ def sof_jax_batch(prev, cur, n_corners: int = 256, win: int = 10,
     return f(prev, cur)
 
 
+@functools.partial(__import__("jax").jit, static_argnames=("n_iters",))
+def _ecc_jax_core(prev, cur, n_iters: int = 30):
+    """Translation-only ECC alignment of one grayscale pair.
+
+    prev/cur: (H, W) float32 (already at CMC scale). Returns
+    ((2, 3) translation warp mapping prev coords -> cur coords,
+    ok flag). Mirrors the reference's cv2.findTransformECC with
+    MOTION_TRANSLATION (reference: src/motion/cmc/ecc.cpp:22-98) —
+    the warp W satisfies cur(W(x)) ~= prev(x) — but runs entirely
+    on-device with fixed shapes:
+
+      1. phase correlation (FFT cross-power spectrum) gives an integer
+         shift estimate robust to motion far outside Gauss-Newton's
+         convergence basin (cv2's ECC simply fails there and the
+         reference falls back to identity, ecc.cpp:83-90);
+      2. ``n_iters`` ECC iterations (zero-mean correlation objective,
+         forward-additive Gauss-Newton) refine to sub-pixel.
+
+    Non-convergence / flat-image degeneracy -> identity + ok=False,
+    the reference's StsNoConv contract.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    H, W = prev.shape
+    prev = prev.astype(jnp.float32)
+    cur = cur.astype(jnp.float32)
+
+    # --- phase-correlation init (Hann-windowed to kill edge ringing) ---
+    wy = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(H) / H)
+    wx = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(W) / W)
+    win = wy[:, None] * wx[None, :]
+    f1 = jnp.fft.rfft2((prev - prev.mean()) * win)
+    f2 = jnp.fft.rfft2((cur - cur.mean()) * win)
+    xps = f1 * jnp.conj(f2)
+    xps = xps / (jnp.abs(xps) + 1e-9)
+    corr = jnp.fft.irfft2(xps, s=(H, W))
+    peak = jnp.argmax(corr)
+    py = (peak // W).astype(jnp.float32)
+    px = (peak % W).astype(jnp.float32)
+    # wrap-around: indices past the midpoint are negative shifts
+    py = jnp.where(py > H / 2, py - H, py)
+    px = jnp.where(px > W / 2, px - W, px)
+    # correlation peaks at index (-p mod N) for cur = prev shifted by +p
+    tx0, ty0 = -px, -py
+
+    # --- ECC refinement over the interior (static margin avoids the
+    # zero-filled borders translation drags in) ---
+    m = 8
+    ys = jnp.arange(m, H - m, dtype=jnp.float32)
+    xs = jnp.arange(m, W - m, dtype=jnp.float32)
+    yg, xg = jnp.meshgrid(ys, xs, indexing="ij")
+
+    def bilinear(im, yy, xx):
+        y0 = jnp.floor(yy)
+        x0 = jnp.floor(xx)
+        fy = yy - y0
+        fx = xx - x0
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+        y1i = jnp.clip(y0i + 1, 0, H - 1)
+        x1i = jnp.clip(x0i + 1, 0, W - 1)
+        return (
+            im[y0i, x0i] * (1 - fy) * (1 - fx)
+            + im[y0i, x1i] * (1 - fy) * fx
+            + im[y1i, x0i] * fy * (1 - fx)
+            + im[y1i, x1i] * fy * fx
+        )
+
+    gx = (jnp.roll(cur, -1, 1) - jnp.roll(cur, 1, 1)) * 0.5
+    gy = (jnp.roll(cur, -1, 0) - jnp.roll(cur, 1, 0)) * 0.5
+    tmpl = prev[m:H - m, m:W - m]
+    tbar = tmpl - tmpl.mean()
+    t_norm2 = jnp.sum(tbar * tbar)
+
+    def ecc_iter(carry, _):
+        tx, ty, frozen = carry
+        yw = yg + ty
+        xw = xg + tx
+        iw = bilinear(cur, yw, xw)
+        gxw = bilinear(gx, yw, xw)
+        gyw = bilinear(gy, yw, xw)
+        ibar = iw - iw.mean()
+        gxb = gxw - gxw.mean()
+        gyb = gyw - gyw.mean()
+        # 2x2 Gram of the (zero-mean) translation Jacobian columns
+        c11 = jnp.sum(gxb * gxb) + 1e-9
+        c12 = jnp.sum(gxb * gyb)
+        c22 = jnp.sum(gyb * gyb) + 1e-9
+        detc = c11 * c22 - c12 * c12
+        iv1 = jnp.sum(gxb * ibar)
+        iv2 = jnp.sum(gyb * ibar)
+        tv1 = jnp.sum(gxb * tbar)
+        tv2 = jnp.sum(gyb * tbar)
+
+        def cinv(v1, v2):
+            return ((c22 * v1 - c12 * v2) / detc,
+                    (c11 * v2 - c12 * v1) / detc)
+
+        ci1, ci2 = cinv(iv1, iv2)
+        i_norm2 = jnp.sum(ibar * ibar)
+        num = i_norm2 - (iv1 * ci1 + iv2 * ci2)
+        den = jnp.sum(tbar * ibar) - (tv1 * ci1 + tv2 * ci2)
+        # den <= 0 is ECC's "cannot increase correlation" failure; hold
+        lam = num / jnp.where(den > 1e-9, den, 1.0)
+        err1 = lam * tv1 - iv1
+        err2 = lam * tv2 - iv2
+        d1, d2 = cinv(err1, err2)
+        step_ok = (den > 1e-9) & jnp.isfinite(d1) & jnp.isfinite(d2)
+        upd = step_ok & ~frozen
+        tx = jnp.where(upd, tx + d1, tx)
+        ty = jnp.where(upd, ty + d2, ty)
+        # eps-convergence freeze (the reference's TERM_CRITERIA_EPS 1e-5
+        # is on the correlation delta; a step-norm freeze is the same
+        # fixed point and keeps the scan branch-free)
+        frozen = frozen | (jnp.sqrt(d1 * d1 + d2 * d2) < 1e-4) | ~step_ok
+        rho = jnp.sum(tbar * ibar) / (
+            jnp.sqrt(t_norm2 * i_norm2) + 1e-9
+        )
+        return (tx, ty, frozen), rho
+
+    (tx, ty, _), rhos = jax.lax.scan(
+        ecc_iter, (tx0, ty0, jnp.bool_(False)), None, length=n_iters
+    )
+    rho = rhos[-1]
+    ok = (
+        jnp.isfinite(tx) & jnp.isfinite(ty)
+        & (rho > 0.2)
+        & (jnp.abs(tx) < 0.5 * W) & (jnp.abs(ty) < 0.5 * H)
+    )
+    warp = jnp.asarray(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32
+    ) + jnp.zeros((2, 3), jnp.float32).at[0, 2].set(tx).at[1, 2].set(ty)
+    ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+    return jnp.where(ok, warp, ident), ok
+
+
+def ecc_jax_batch(prev, cur, n_iters: int = 30):
+    """Batched translation-ECC: (S, H, W) grayscale pairs ->
+    ((S, 2, 3) warps, (S,) ok flags) in ONE device pass.
+
+    TPU-native counterpart of the reference's per-frame host
+    cv2.findTransformECC loop (reference: src/motion/cmc/ecc.cpp:22-98)
+    and the ECC analogue of :func:`sof_jax_batch`: ECC is the default
+    CMC for StrongSORT/BoostTrack, so at thousands of streams the warp
+    estimate must ride the chip with the rest of the tick. Streams that
+    fail to converge get the identity warp and ok=False.
+    """
+    import jax
+
+    f = jax.vmap(functools.partial(_ecc_jax_core, n_iters=n_iters))
+    return f(prev, cur)
+
+
+class ECCJax:
+    """TPU-native ECC CMC (translation model; see module doc).
+
+    Drop-in for :class:`ECC`: same (2, 3) warp contract, same 0.15x
+    downscale preprocessing and 1/scale translation rescale
+    (reference: src/motion/cmc/{cmc,ecc}.cpp), but the registration
+    runs on-device (phase-correlation init + ECC refinement) instead
+    of host cv2 — and needs no OpenCV at all.
+    """
+
+    def __init__(self, scale: float = 0.15, n_iters: int = 30):
+        self.scale = scale
+        self.n_iters = n_iters
+        self._prev = None
+
+    def _downscale(self, gray):
+        h, w = gray.shape
+        nh = max(int(h * self.scale), 32)
+        nw = max(int(w * self.scale), 32)
+        import jax
+
+        return jax.image.resize(gray, (nh, nw), "linear")
+
+    def apply(self, img, dets=None) -> np.ndarray:
+        import jax.numpy as jnp
+
+        small = self._downscale(jnp.asarray(_to_gray(img)))
+        if self._prev is None or self._prev.shape != small.shape:
+            self._prev = small
+            return IDENTITY.copy()
+        warp, _ = _ecc_jax_core(self._prev, small, n_iters=self.n_iters)
+        warp = np.array(warp)
+        warp[:, 2] /= self.scale  # rescale translation (ecc.cpp:70-80)
+        self._prev = small
+        return warp
+
+    def reset(self):
+        self._prev = None
+
+
 class SOFJax:
     """TPU-native sparse-flow CMC (see module doc)."""
 
@@ -362,7 +566,11 @@ def create_cmc(method: str = "ecc", prefer_jax: bool = False):
     """Factory mirroring the reference's cmc_method dispatch."""
     if method in ("", "none", None):
         return None
-    if prefer_jax or method == "sof_jax":
+    if method == "sof_jax" or (prefer_jax and method == "sof"):
+        return SOFJax()
+    if method == "ecc_jax" or (prefer_jax and method == "ecc"):
+        return ECCJax()
+    if prefer_jax:
         return SOFJax()
     if method == "sof":
         return SOF()

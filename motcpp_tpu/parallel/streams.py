@@ -69,7 +69,9 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
                          with_warps: bool = False,
                          embed_fn: Callable | None = None,
                          crop_budget: int | None = None,
-                         emb_cadence: int | None = None):
+                         emb_cadence: int | None = None,
+                         cmc_fn: Callable | None = None,
+                         cmc_scale: float = 1.0):
     """Rollout with optional embedding (T, S, N, D), camera-warp
     (T, S, 2, 3), and raw-crop legs. Warps reach the per-stream step as
     its ``warp`` argument, exercising each tracker's CMC application
@@ -102,9 +104,30 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
     this is the TPU throughput lever VERDICT r3 #1c). The rollout then
     takes a ``frame0`` scalar (first arg after states) so the phase
     persists across calls (serving ticks are T=1). The CNN batch
-    auto-shrinks to ceil(S*N/k) unless crop_budget caps it lower."""
+    auto-shrinks to ceil(S*N/k) unless crop_budget caps it lower.
+
+    With ``cmc_fn`` (a batched estimator like motion.cmc.ecc_jax_batch
+    or sof_jax_batch: (S, h, w) prev/cur grayscale -> ((S, 2, 3)
+    warps, (S,) ok)) the warp leg becomes LIVE CMC from pixels: the
+    rollout consumes per-frame grayscale frames (T, S, h, w) in place
+    of warps, the scan carries each stream's previous frame, and every
+    step estimates all S warps in-graph before the tracker step — the
+    TPU equivalent of the reference estimating ECC/SOF per frame on
+    the host inside update() (ecc.cpp:22-98, sof.cpp:24-180).
+    ``cmc_scale``: the downscale factor the frames were preprocessed
+    with (the reference uses 0.15x, cmc.cpp:8-26); estimated
+    translations are rescaled by 1/cmc_scale like ecc.cpp:70-80. The
+    rollout then takes ``(prev_frames (S, h, w), has_prev scalar
+    bool)`` right after states (after the cadence args if both legs
+    are on) and returns ``((states, prev_frames, has_prev), outs)`` so
+    the carry persists across calls; the first-ever frame gets the
+    identity warp, matching every host estimator's first-frame
+    contract."""
 
     vstep = jax.vmap(step_fn)
+    use_cmc = cmc_fn is not None
+    if use_cmc and with_warps:
+        raise ValueError("cmc_fn replaces the warps input; do not set both")
     if crop_budget is not None and embed_fn is None:
         raise ValueError("crop_budget requires embed_fn (live ReID)")
     if emb_cadence is not None:
@@ -127,44 +150,94 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
             budget = min(budget, auto) if budget is not None else auto
         return embed_valid_crops(embed_fn, e, d, m, budget=budget)
 
-    def rollout_cadence(states, frame0, stream_ids, dets, masks, *extra):
+    def _live_warp(pv, hp, f):
+        """Estimate (S, 2, 3) warps from the carried previous frames;
+        identity until a previous frame exists (first-frame contract of
+        every host estimator, e.g. ecc.cpp:40-46)."""
+        w, _ok = cmc_fn(pv, f)
+        if cmc_scale != 1.0:
+            # rescale translation to full-frame pixels (ecc.cpp:70-80)
+            w = w.at[..., :, 2].mul(1.0 / float(cmc_scale))
+        ident = (
+            jnp.zeros_like(w).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+        )
+        return jnp.where(hp, w, ident)
+
+    def rollout_cadence(states, frame0, stream_ids, *args):
         # stream_ids (S,) are GLOBAL indices (sharded alongside states)
         # so the gate — and therefore every emission — is bit-identical
         # between single-device and sharded execution.
+        if use_cmc:
+            prev0, has_prev0 = args[0], args[1]
+            dets, masks, *extra = args[2:]
+        else:
+            dets, masks, *extra = args
+
         def body(carry, inp):
-            st, t = carry
+            if use_cmc:
+                st, t, pv, hp = carry
+            else:
+                st, t = carry
             d, m, e, *rest = inp
             e = _embed(e, d, m, t, stream_ids)
+            if use_cmc:
+                f = rest[0]
+                st, out = vstep(st, d, m, e, _live_warp(pv, hp, f))
+                return (st, t + 1, f, jnp.bool_(True)), out
             if with_warps:
                 st, out = vstep(st, d, m, e, rest[0])
             else:
                 st, out = vstep(st, d, m, e)
             return (st, t + 1), out
 
-        (st, _), outs = lax.scan(
-            body, (states, jnp.asarray(frame0, jnp.int32)),
-            (dets, masks) + tuple(extra),
-        )
-        return st, outs
+        carry0 = (states, jnp.asarray(frame0, jnp.int32))
+        if use_cmc:
+            carry0 = carry0 + (prev0, jnp.asarray(has_prev0, bool))
+        carry, outs = lax.scan(body, carry0, (dets, masks) + tuple(extra))
+        if use_cmc:
+            return (carry[0], carry[2], carry[3]), outs
+        return carry[0], outs
 
-    def rollout(states, dets, masks, *extra):
-        def body(st, inp):
+    def rollout(states, *args):
+        if use_cmc:
+            prev0, has_prev0 = args[0], args[1]
+            dets, masks, *extra = args[2:]
+        else:
+            dets, masks, *extra = args
+
+        def body(carry, inp):
+            if use_cmc:
+                st, pv, hp = carry
+            else:
+                st = carry
             d, m, *rest = inp
+            e = None
             if with_embs:
                 e = rest[0]
+                rest = rest[1:]
                 if embed_fn is not None:
                     e = _embed(e, d, m, 0)
-                if with_warps:
-                    st, out = vstep(st, d, m, e, rest[1])
-                else:
-                    st, out = vstep(st, d, m, e)
+            if use_cmc:
+                f = rest[0]
+                w = _live_warp(pv, hp, f)
             elif with_warps:
-                st, out = vstep(st, d, m, None, rest[0])
+                w = rest[0]
+            else:
+                w = None
+            if w is not None:
+                st, out = vstep(st, d, m, e, w)
+            elif with_embs:
+                st, out = vstep(st, d, m, e)
             else:
                 st, out = vstep(st, d, m)
+            if use_cmc:
+                return (st, f, jnp.bool_(True)), out
             return st, out
 
-        return lax.scan(body, states, (dets, masks) + tuple(extra))
+        carry0 = states
+        if use_cmc:
+            carry0 = (states, prev0, jnp.asarray(has_prev0, bool))
+        return lax.scan(body, carry0, (dets, masks) + tuple(extra))
 
     return rollout_cadence if use_cadence else rollout
 
@@ -194,6 +267,8 @@ class MultiStreamRunner:
         embed_fn: Callable | None = None,
         crop_budget: int | None = None,
         emb_cadence: int | None = None,
+        cmc_fn: Callable | None = None,
+        cmc_scale: float = 1.0,
     ):
         """embed_fn (appearance.reid.make_embed_fn): switch the
         embedding leg to live ReID — run() then takes raw uint8 crops
@@ -212,11 +287,26 @@ class MultiStreamRunner:
         (staggered per stream; see make_rollout_general) — the CNN cost
         drops ~k x while track features ride each tracker's EMA/gallery.
         The frame phase is carried on the runner across run() calls and
-        reset by reset(); k=1 is bit-identical to no cadence."""
+        reset by reset(); k=1 is bit-identical to no cadence.
+
+        cmc_fn (motion.cmc.ecc_jax_batch / sof_jax_batch): switch the
+        warp leg to LIVE CMC — run() then takes grayscale frames
+        (T, S, h, w) float32 at CMC scale (``cmc_scale``; the reference
+        preprocesses at 0.15x, cmc.cpp:8-26) via the ``frames=``
+        argument, and every scan step estimates all S warps on-device
+        before the tracker step. Each stream's previous frame is
+        carried on the runner across run() calls (reset by reset());
+        the first-ever frame gets the identity warp. Implies the step
+        consumes a warp (with_warps-style step signature)."""
         self.n_streams = int(n_streams)
         self.devices = devices if devices is not None else jax.devices()
         self.with_embs = bool(with_embs) or embed_fn is not None
         self.with_warps = bool(with_warps)
+        self.with_cmc = cmc_fn is not None
+        if self.with_cmc and self.with_warps:
+            raise ValueError(
+                "cmc_fn computes warps in-graph; do not also set with_warps"
+            )
         n_dev = len(self.devices)
         if self.n_streams % n_dev != 0:
             raise ValueError(
@@ -240,10 +330,11 @@ class MultiStreamRunner:
         if self._use_cadence and embed_fn is None:
             raise ValueError("emb_cadence requires embed_fn (live ReID)")
         self._frame0 = 0
+        self._prev_frames = None  # live-CMC carry across run() calls
         rollout = make_rollout_general(
             step_fn, with_embs=self.with_embs, with_warps=self.with_warps,
             embed_fn=embed_fn, crop_budget=shard_budget,
-            emb_cadence=emb_cadence,
+            emb_cadence=emb_cadence, cmc_fn=cmc_fn, cmc_scale=cmc_scale,
         )
 
         if n_dev > 1:
@@ -251,17 +342,24 @@ class MultiStreamRunner:
 
             spec_state = P("streams")
             spec_t = P(None, "streams")
-            n_in = 2 + int(self.with_embs) + int(self.with_warps)
+            n_in = 2 + int(self.with_embs) + int(self.with_warps) \
+                + int(self.with_cmc)
             in_specs = (spec_state,)
             if self._use_cadence:
                 # frame0 replicated, global stream_ids sharded like states
                 in_specs = in_specs + (P(), P("streams"))
+            if self.with_cmc:
+                # prev frames sharded like states, has_prev replicated
+                in_specs = in_specs + (P("streams"), P())
             in_specs = in_specs + (spec_t,) * n_in
+            out_state = spec_state
+            if self.with_cmc:
+                out_state = (spec_state, P("streams"), P())
             rollout = shard_map(
                 rollout,
                 mesh=self.mesh,
                 in_specs=in_specs,
-                out_specs=(spec_state, (spec_t, spec_t)),
+                out_specs=(out_state, (spec_t, spec_t)),
                 # the LAP while_loop carries start as replicated constants
                 # and become stream-varying inside the loop; skip the
                 # varying-manual-axes check (streams never communicate)
@@ -282,11 +380,14 @@ class MultiStreamRunner:
             states = jax.device_put(states, sharding)
         return states
 
-    def run(self, dets, masks, embs=None, warps=None, states=None):
+    def run(self, dets, masks, embs=None, warps=None, states=None,
+            frames=None):
         """Track T frames across all streams; returns (outs, out_masks)
         and retains carry state for subsequent calls (streaming use).
         embs (T, S, N, D) required iff constructed with_embs=True;
-        warps (T, S, 2, 3) required iff with_warps=True."""
+        warps (T, S, 2, 3) required iff with_warps=True;
+        frames (T, S, h, w) float32 CMC-scale grayscale required iff
+        constructed with cmc_fn (live in-graph warp estimation)."""
         if (embs is not None) != self.with_embs:
             raise ValueError(
                 "pass embs iff the runner was built with with_embs=True"
@@ -294,6 +395,10 @@ class MultiStreamRunner:
         if (warps is not None) != self.with_warps:
             raise ValueError(
                 "pass warps iff the runner was built with with_warps=True"
+            )
+        if (frames is not None) != self.with_cmc:
+            raise ValueError(
+                "pass frames iff the runner was built with cmc_fn"
             )
         if states is None:
             states = self._states if self._states is not None else self.init_states()
@@ -305,6 +410,8 @@ class MultiStreamRunner:
         args = (dets, masks)
         if embs is not None:
             args = args + (embs,)
+        if frames is not None:
+            args = args + (frames,)
         if warps is not None:
             args = args + (warps,)
         if len(self.devices) > 1:
@@ -312,6 +419,19 @@ class MultiStreamRunner:
             args = tuple(
                 jax.device_put(jnp.asarray(a), sharding) for a in args
             )
+        if self.with_cmc:
+            prev = self._prev_frames
+            has_prev = prev is not None
+            if prev is None:
+                # placeholder; the rollout substitutes identity warps
+                # until has_prev flips on
+                prev = jnp.zeros(np.shape(frames)[1:], jnp.float32)
+            if len(self.devices) > 1:
+                prev = jax.device_put(
+                    jnp.asarray(prev),
+                    NamedSharding(self.mesh, P("streams")),
+                )
+            args = (prev, jnp.bool_(has_prev)) + args
         if self._use_cadence:
             ids = jnp.arange(self.n_streams, dtype=jnp.int32)
             if len(self.devices) > 1:
@@ -320,7 +440,11 @@ class MultiStreamRunner:
                 )
             args = (jnp.int32(self._frame0), ids) + args
             self._frame0 += int(np.shape(dets)[0])  # advance by T frames
-        self._states, outs = self._rollout(states, *args)
+        carry, outs = self._rollout(states, *args)
+        if self.with_cmc:
+            self._states, self._prev_frames, _ = carry
+        else:
+            self._states = carry
         return outs
 
     @property
@@ -336,3 +460,4 @@ class MultiStreamRunner:
     def reset(self):
         self._states = None
         self._frame0 = 0
+        self._prev_frames = None

@@ -24,6 +24,31 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall clock is dominated by
+# XLA compiles of the same (tracker, shape) programs every run; cached
+# compiles turn repeat runs into the "fast tier" (docs/benchmarking.md
+# §Test tiers). Entries are keyed on HLO + config so source changes
+# that alter a program recompile automatically; sweep zero-byte /
+# .tmp leftovers from interrupted runs (they wedge lookups).
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/motcpp_jax_cache_tests"
+)
+try:
+    from pathlib import Path as _Path
+
+    for _p in _Path(_cache_dir).glob("*"):
+        try:
+            if _p.suffix == ".tmp" or _p.stat().st_size == 0:
+                _p.unlink(missing_ok=True)
+        except OSError:
+            pass
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    # CPU-backend caching is off by default; tests run on CPU
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass  # older jax without the persistent cache knobs
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,9 +1,9 @@
-"""CMC estimator tests: ECC, SOF, and the TPU-native SOFJax."""
+"""CMC estimator tests: ECC, SOF, and the TPU-native SOFJax/ECCJax."""
 
 import numpy as np
 import pytest
 
-from motcpp_tpu.motion.cmc import ECC, SOF, SOFJax, create_cmc
+from motcpp_tpu.motion.cmc import ECC, ECCJax, SOF, SOFJax, create_cmc
 
 
 def _textured(h=240, w=320, seed=0):
@@ -34,12 +34,16 @@ def test_factory():
     assert isinstance(create_cmc("ecc"), ECC)
     assert isinstance(create_cmc("sof"), SOF)
     assert isinstance(create_cmc("sof_jax"), SOFJax)
+    assert isinstance(create_cmc("ecc_jax"), ECCJax)
+    # prefer_jax keeps each method family on its TPU-native estimator
+    assert isinstance(create_cmc("ecc", prefer_jax=True), ECCJax)
+    assert isinstance(create_cmc("sof", prefer_jax=True), SOFJax)
     with pytest.raises(ValueError):
         create_cmc("bogus")
 
 
 def test_first_frame_identity():
-    for est in (ECC(), SOF(), SOFJax()):
+    for est in (ECC(), SOF(), SOFJax(), ECCJax()):
         w = est.apply(_textured())
         np.testing.assert_allclose(w, [[1, 0, 0], [0, 1, 0]], atol=1e-6)
 
@@ -166,6 +170,99 @@ def test_sof_jax_batch_recovers_per_stream_shifts():
         assert abs(warps[s, 0, 2] - dx) < 3.0, (s, warps[s])
         assert abs(warps[s, 1, 2] - dy) < 3.0, (s, warps[s])
         np.testing.assert_allclose(warps[s, :, :2], np.eye(2), atol=0.05)
+
+
+def test_ecc_jax_translation_recovered():
+    """The TPU-native ECC recovers sub-pixel translations, including
+    shifts far outside the Gauss-Newton basin (the phase-correlation
+    init; cv2's identity-init ECC fails there, ecc.cpp:83-90)."""
+    import jax.numpy as jnp
+
+    from motcpp_tpu.motion.cmc import _ecc_jax_core
+
+    img = _textured()[:, :, 0].astype(np.float32)
+    for dx, dy in [(16, 8), (-12, 5), (0, 0), (40, -25), (2, 3)]:
+        shifted = _shift(img[..., None], dx, dy)[..., 0]
+        w, ok = _ecc_jax_core(jnp.asarray(img), jnp.asarray(shifted))
+        assert bool(ok), (dx, dy)
+        assert abs(float(w[0, 2]) - dx) < 1.0, (dx, dy, np.asarray(w))
+        assert abs(float(w[1, 2]) - dy) < 1.0, (dx, dy, np.asarray(w))
+
+
+def test_ecc_jax_batch_recovers_per_stream_shifts():
+    """Batched ECC: each stream's warp matches its own shift, failures
+    (a flat frame) get identity + ok=False."""
+    import jax.numpy as jnp
+
+    from motcpp_tpu.motion.cmc import ecc_jax_batch
+
+    shifts = [(7, 4), (-6, 3), (0, 0), (24, -11)]
+    prevs, curs = [], []
+    for s, (dx, dy) in enumerate(shifts):
+        img = _textured(seed=10 + s)[:, :, 0].astype(np.float32)
+        prevs.append(img)
+        curs.append(_shift(img[..., None], dx, dy)[..., 0])
+    # degenerate stream: flat frames have no signal to register
+    prevs.append(np.full_like(prevs[0], 127.0))
+    curs.append(np.full_like(prevs[0], 127.0))
+    warps, ok = ecc_jax_batch(
+        jnp.asarray(np.stack(prevs)), jnp.asarray(np.stack(curs))
+    )
+    warps = np.asarray(warps)
+    ok = np.asarray(ok)
+    for s, (dx, dy) in enumerate(shifts):
+        assert ok[s], (s, warps[s])
+        assert abs(warps[s, 0, 2] - dx) < 1.0, (s, warps[s])
+        assert abs(warps[s, 1, 2] - dy) < 1.0, (s, warps[s])
+    assert not ok[-1]
+    np.testing.assert_allclose(warps[-1], [[1, 0, 0], [0, 1, 0]], atol=1e-6)
+
+
+def test_ecc_jax_batch_matches_single():
+    """vmapped ECC core == per-pair core."""
+    import jax.numpy as jnp
+
+    from motcpp_tpu.motion.cmc import _ecc_jax_core, ecc_jax_batch
+
+    prevs = np.stack(
+        [_textured(seed=30 + s)[:, :, 0].astype(np.float32) for s in range(3)]
+    )
+    curs = np.stack(
+        [_shift(_textured(seed=30 + s), 5, 3)[:, :, 0].astype(np.float32)
+         for s in range(3)]
+    )
+    wb, okb = ecc_jax_batch(jnp.asarray(prevs), jnp.asarray(curs))
+    for s in range(3):
+        w1, ok1 = _ecc_jax_core(jnp.asarray(prevs[s]), jnp.asarray(curs[s]))
+        np.testing.assert_allclose(np.asarray(wb)[s], np.asarray(w1),
+                                   rtol=0, atol=1e-4)
+        assert bool(np.asarray(okb)[s]) == bool(np.asarray(ok1))
+
+
+def test_ecc_jax_parity_vs_cv2_on_pan_scene():
+    """Parity pin: on the camera-pan golden scene (the same scene the
+    golden_cmc regression runs), ECCJax's per-frame warp must agree
+    with the cv2 findTransformECC port frame by frame — the TPU-native
+    estimator is a drop-in for the reference's default CMC
+    (ecc.cpp:22-98), not a different algorithm with similar outputs."""
+    pytest.importorskip("cv2")
+    from motcpp_tpu.data.synthetic import camera_pan_scene
+
+    frames, _, _ = camera_pan_scene(n_frames=10)
+    ref = ECC()
+    jx = ECCJax()
+    max_dt = 0.0
+    for t, img in enumerate(frames):
+        w_ref = ref.apply(img)
+        w_jax = jx.apply(img)
+        if t == 0:
+            continue
+        # both are translation-only models at 0.15x scale; full-scale
+        # translation must agree within ~1px (one small-scale sixth px)
+        dt = float(np.abs(w_ref[:, 2] - w_jax[:, 2]).max())
+        max_dt = max(max_dt, dt)
+        np.testing.assert_allclose(w_jax[:, :2], np.eye(2), atol=1e-6)
+    assert max_dt < 1.5, max_dt
 
 
 def test_sof_jax_batch_matches_single():

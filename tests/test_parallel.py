@@ -323,6 +323,102 @@ def test_rollout_combined_embs_and_warps():
     assert int(np.asarray(out_masks).sum()) > 0
 
 
+def test_rollout_live_cmc_matches_precomputed_warps():
+    """cmc_fn switches the warp leg to LIVE in-graph estimation from
+    grayscale frames (ecc_jax_batch inside the scanned program, the TPU
+    replacement for the reference's per-frame host ECC, ecc.cpp:22-98):
+    outputs must equal the precomputed-warps rollout fed the warps the
+    same estimator computes on the host, with the prev-frame carry
+    surviving a split across run() calls, on one device and sharded."""
+    import jax
+    import jax.numpy as jnp
+
+    from motcpp_tpu.models.botsort import BotSortConfig, make_botsort
+    from motcpp_tpu.motion.cmc import ecc_jax_batch
+    from motcpp_tpu.parallel import MultiStreamRunner
+
+    S, T, N = 2, 6, 8
+    h, w = 64, 96
+    rng = np.random.default_rng(7)
+
+    # textured per-stream scenes panning at different speeds
+    def textured(seed):
+        im = np.zeros((h, w * 3), np.float32)
+        r = np.random.default_rng(seed)
+        for scale in (4, 8, 16):
+            small = r.random((h // scale + 2, w * 3 // scale + 2))
+            im += np.kron(small, np.ones((scale, scale)))[:h, :w * 3]
+        return (im / im.max() * 255).astype(np.float32)
+
+    scenes = [textured(40 + s) for s in range(S)]
+    pans = [3, 5]  # px/frame at frame scale
+    frames = np.zeros((T, S, h, w), np.float32)
+    for t in range(T):
+        for s in range(S):
+            x0 = pans[s] * t
+            frames[t, s] = scenes[s][:, x0:x0 + w]
+
+    cfg = BotSortConfig(max_tracks=16, max_dets=N, with_reid=False)
+    init_fn, step_fn = make_botsort(cfg)
+    dets = np.zeros((T, S, N, 6), np.float32)
+    masks = np.zeros((T, S, N), bool)
+    for t in range(T):
+        for s in range(S):
+            x = 20 + pans[s] * t  # static object dragged by the pan
+            dets[t, s, 0] = [x, 10, x + 14, 40, 0.9, 0]
+            masks[t, s, 0] = True
+
+    scale = 0.5  # pretend frames were downscaled by this for CMC
+    # host reference: same estimator per consecutive pair, identity first
+    warps = np.tile(np.asarray([[1, 0, 0], [0, 1, 0]], np.float32),
+                    (T, S, 1, 1))
+    for t in range(1, T):
+        wz, _ = ecc_jax_batch(jnp.asarray(frames[t - 1]),
+                              jnp.asarray(frames[t]))
+        wz = np.asarray(wz).copy()
+        wz[:, :, 2] /= scale
+        warps[t] = wz
+
+    dev1 = jax.devices()[:1]
+    base = MultiStreamRunner(init_fn, step_fn, n_streams=S, devices=dev1,
+                             with_warps=True)
+    o0, m0 = base.run(jnp.asarray(dets), jnp.asarray(masks),
+                      warps=jnp.asarray(warps))
+
+    live = MultiStreamRunner(init_fn, step_fn, n_streams=S, devices=dev1,
+                             cmc_fn=ecc_jax_batch, cmc_scale=scale)
+    # split across two run() calls: the prev-frame carry must bridge
+    o1a, m1a = live.run(jnp.asarray(dets[:3]), jnp.asarray(masks[:3]),
+                        frames=jnp.asarray(frames[:3]))
+    o1b, m1b = live.run(jnp.asarray(dets[3:]), jnp.asarray(masks[3:]),
+                        frames=jnp.asarray(frames[3:]))
+    m1 = np.concatenate([np.asarray(m1a), np.asarray(m1b)])
+    o1 = np.concatenate([np.asarray(o1a), np.asarray(o1b)])
+    np.testing.assert_array_equal(np.asarray(m0), m1)
+    np.testing.assert_allclose(np.asarray(o0)[np.asarray(m0)], o1[m1],
+                               rtol=0, atol=1e-4)
+
+    if len(jax.devices()) >= 2:
+        sharded = MultiStreamRunner(
+            init_fn, step_fn, n_streams=S, devices=jax.devices()[:2],
+            cmc_fn=ecc_jax_batch, cmc_scale=scale,
+        )
+        o2, m2 = sharded.run(jnp.asarray(dets), jnp.asarray(masks),
+                             frames=jnp.asarray(frames))
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m2))
+        np.testing.assert_allclose(
+            np.asarray(o0)[np.asarray(m0)], np.asarray(o2)[np.asarray(m2)],
+            rtol=0, atol=1e-4,
+        )
+
+    # the warp leg must be live: a no-CMC rollout diverges on this scene
+    plain = MultiStreamRunner(init_fn, step_fn, n_streams=S, devices=dev1)
+    o3, m3 = plain.run(jnp.asarray(dets), jnp.asarray(masks))
+    assert (np.asarray(m3) != np.asarray(m0)).any() or not np.allclose(
+        np.asarray(o3)[np.asarray(m3)][:, :4], np.asarray(o0)[np.asarray(m0)][:, :4]
+    )
+
+
 def test_runner_live_reid_matches_precomputed_and_shards():
     """embed_fn switches the embedding leg to raw crops with the ReID
     CNN inside the scanned program; outputs must equal the

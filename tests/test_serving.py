@@ -772,7 +772,7 @@ def test_serving_latency_live_reid_smoke():
     )
     assert r.returncode == 0, r.stderr
     res = json.loads(r.stdout.strip().splitlines()[-1])
-    assert res["metric"] == "botsort_livereid_serving_tick_latency_ms"
+    assert res["metric"] == "botsort_livereid_x0_25_serving_tick_latency_ms"
     assert 0 < res["p50"] <= res["p99"]
 
 
