@@ -64,12 +64,20 @@ SCOREBOARD = {
 
 
 def run_scoreboard(n_frames=600, trackers=None, progress=print,
-                   pan_amp=None, use_warps=True):
+                   pan_amp=None, use_warps=True, emb_cadence=1):
     """Run every scoreboard row; returns {name: metrics-dict}.
 
     pan_amp/use_warps: the replica comparison (scripts/ref_replica/)
     runs on the no-pan scene (pan_amp=(0, 0)) without warp injection,
-    because the reference binary's internal ECC sees black frames."""
+    because the reference binary's internal ECC sees black frames.
+
+    emb_cadence=k: zero the detection embeddings except every k-th
+    frame — the accuracy-cost probe for the live-ReID serving cadence
+    (parallel.streams emb_cadence / serving emb_cadence): skipped
+    frames carry zero-norm det features, which every tracker treats as
+    "no appearance info" (association falls back to motion/IoU while
+    per-track EMA/gallery features persist). k=1 is the plain
+    scoreboard."""
     import motcpp_tpu
     from motcpp_tpu.data.synthetic import ablation_scene
     from motcpp_tpu.metrics import (
@@ -99,6 +107,8 @@ def run_scoreboard(n_frames=600, trackers=None, progress=print,
         t0 = time.time()
         for t in range(1, n_frames + 1):
             e = embs[t] if spec["embs"] else None
+            if e is not None and emb_cadence > 1 and t % emb_cadence != 0:
+                e = np.zeros_like(e)
             out = tr.update(dets[t], img, e, warp=warps[t])
             if out.shape[0]:
                 pred[t] = (
@@ -139,6 +149,10 @@ def main(argv=None):
                     help="write tests/accuracy_ablation.json")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the TPU backend (default: CPU)")
+    ap.add_argument("--emb-cadence", type=int, default=1,
+                    help="zero det embeddings except every k-th frame "
+                    "(accuracy-cost probe for the live-ReID serving "
+                    "cadence; 1 = plain scoreboard)")
     args = ap.parse_args(argv)
 
     if not args.tpu:
@@ -146,7 +160,12 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    results = run_scoreboard(args.frames, args.trackers)
+    if args.write and args.emb_cadence > 1:
+        raise SystemExit("--write pins the PLAIN scoreboard; drop "
+                         "--emb-cadence (cadence numbers go in "
+                         "docs/benchmarking.md)")
+    results = run_scoreboard(args.frames, args.trackers,
+                             emb_cadence=args.emb_cadence)
     if args.write:
         out = Path(__file__).resolve().parent.parent / "tests" / "accuracy_ablation.json"
         out.write_text(json.dumps(results, indent=1) + "\n")

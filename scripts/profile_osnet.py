@@ -23,16 +23,21 @@ import numpy as np
 
 
 def timeit(fn, *args, repeats=20):
+    """block_until_ready inside the timed loop; ONE validating fetch of
+    a device-side SCALAR after it. Fetching block outputs (hundreds of
+    MB) through the axon tunnel stalls for seconds-to-minutes and was
+    inflating per-piece timings 100x — the fetch exists only to surface
+    silently-aborted remote computations, so reduce on device first."""
     out = fn(*args)
     jax.block_until_ready(out)
-    # fetch a value to surface aborted remote computations (axon)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     t0 = time.time()
     for _ in range(repeats):
         out = fn(*args)
-    jax.block_until_ready(out)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-    return (time.time() - t0) / repeats * 1000.0  # ms
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / repeats * 1000.0  # ms
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf))  # scalar fetch: raises if the run was aborted
+    return dt
 
 
 def main():
