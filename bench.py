@@ -327,6 +327,22 @@ CAPACITY_ROWS = [
 ]
 CAPACITY_TRACKERS = ["strongsort", "boosttrack", "bytetrack"]
 
+# deployed live-ReID operating point per tracker: the largest embedding
+# cadence whose measured HOTA cost on the 600-frame ablation scene is
+# <=1.0 vs every-frame embedding (tests/accuracy_cadence.json;
+# methodology in docs/benchmarking.md). BotSORT/DeepOC-SORT ride their
+# EMA banks flat to k=8; BoostTrack is flat to k=2; StrongSORT's
+# gallery NN metric and HybridSORT's TCM pay ~3-5 HOTA at k=2, so they
+# deploy every-frame. All deploy the int8 CNN (cosine>=0.995 pinned,
+# tests/test_appearance.py::TestQuantizedInference).
+DEPLOYED_CADENCE = {
+    "strongsort": 1,
+    "botsort": 8,
+    "deepocsort": 8,
+    "boosttrack": 2,
+    "hybridsort": 1,
+}
+
 
 def bench_livereid(tracker: str, args) -> dict:
     """Images-in -> tracks-out: raw 256x128 uint8 crops through the
@@ -589,10 +605,13 @@ def main():
             # all five appearance trackers get a live-ReID row (the
             # reference serves all five through its ONNX backend,
             # onnx_backend.cpp:110-133). One row keeps the raw
-            # every-frame path (like-for-like vs the reference, which
-            # embeds every frame); the five-tracker sweep runs the
-            # deployed operating point (embedding cadence 4 —
-            # docs/benchmarking.md) unless --emb-cadence overrides.
+            # every-frame bf16 path (like-for-like vs the reference,
+            # which embeds every frame); the five-tracker sweep runs
+            # each tracker's DEPLOYED operating point — int8 CNN +
+            # the largest embedding cadence whose measured HOTA cost
+            # on the 600-frame ablation scene is <=1.0
+            # (tests/accuracy_cadence.json, docs/benchmarking.md) —
+            # unless --emb-cadence/--reid-quant override.
             import copy as _copy
 
             # live-CMC row: frames -> ecc_jax_batch -> warps -> tracker,
@@ -602,11 +621,12 @@ def main():
                            dict(streams=512, cmc="ecc"), "_cmc_ecc"))
             raw = _copy.copy(args)
             raw.emb_cadence = 1
+            raw.reid_quant = False
             emit(bench_livereid("strongsort", raw))
-            oper = _copy.copy(args)
-            oper.emb_cadence = args.emb_cadence or 4
-            for trk in ("strongsort", "botsort", "deepocsort",
-                        "boosttrack", "hybridsort"):
+            for trk, k in DEPLOYED_CADENCE.items():
+                oper = _copy.copy(args)
+                oper.reid_quant = True
+                oper.emb_cadence = args.emb_cadence or k
                 emit(bench_livereid(trk, oper))
         emit(bench_one("bytetrack", args))
     finally:

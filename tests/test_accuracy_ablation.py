@@ -216,3 +216,30 @@ def test_strongsort_beats_reference_binary():
     )["strongsort"]
     assert got["IDSW"] * 10 < ref["IDSW"], (got["IDSW"], ref["IDSW"])
     assert got["HOTA"] > ref["HOTA"] + 5
+
+
+def test_deployed_cadence_accuracy_cost():
+    """bench.py's DEPLOYED_CADENCE must be the largest measured cadence
+    whose HOTA cost vs every-frame embedding is <=1.0 on the committed
+    600-frame measurements (tests/accuracy_cadence.json). Pins the
+    serving operating points documented in docs/benchmarking.md: if a
+    cadence remeasurement moves the cost, this fails until the deployed
+    table and docs are updated together."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import DEPLOYED_CADENCE
+
+    table = json.loads(
+        (Path(__file__).resolve().parent / "accuracy_cadence.json")
+        .read_text()
+    )
+    for trk, k in DEPLOYED_CADENCE.items():
+        rows = table[trk]
+        base = rows["1"]["HOTA"]
+        assert base - rows[str(k)]["HOTA"] <= 1.0, (trk, k)
+        # largest: every measured cadence above k must cost > 1.0
+        larger = [int(c) for c in rows if int(c) > k]
+        if larger:
+            nxt = str(min(larger))
+            assert base - rows[nxt]["HOTA"] > 1.0, (trk, nxt)

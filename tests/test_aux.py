@@ -109,14 +109,18 @@ def test_id_to_color_deterministic():
 
 
 def test_obb_seven_col_quirk_parity():
-    """7-col OBB input flows through the cores with the reference's
-    de-facto behavior: the angle column is read as confidence
-    (SURVEY.md §2.5 note; reference tracker.cpp:168-177 autodetect,
-    cores hardcode conf=col4/cls=col5). Angle below det_thresh filters
-    the detection entirely."""
+    """The reference's de-facto OBB behavior: 7-col input autodetects
+    as OBB but the cores hardcode conf=col4/cls=col5, so the angle
+    column is read as confidence (SURVEY.md §2.5 note; reference
+    tracker.cpp:168-177 autodetect). Trackers WITHOUT this repo's real
+    OBB path (everything but SORT) keep that parity quirk: angle
+    surfaces as conf, and an angle below det_thresh filters the
+    detection entirely. SORT deliberately diverges — it rebuilds in
+    rotated-IoU mode and emits (M, 9) with the angle tracked
+    (tests/test_sort.py::TestObbTracking)."""
     import motcpp_tpu
 
-    tr = motcpp_tpu.create_tracker("sort", min_hits=1, max_tracks=8,
+    tr = motcpp_tpu.create_tracker("bytetrack", max_tracks=8,
                                    max_dets=4)
     # angle (col 4) = 0.9 acts as conf; real conf 0.3 lands in cls slot
     d = np.array([[150, 150, 80, 160, 0.9, 0.3, 0]], np.float32)
@@ -124,11 +128,20 @@ def test_obb_seven_col_quirk_parity():
     assert out.shape == (1, 8)
     assert out[0, 5] == np.float32(0.9)  # angle surfaced as conf
 
-    tr2 = motcpp_tpu.create_tracker("sort", min_hits=1, max_tracks=8,
-                                    max_dets=4, det_thresh=0.5)
+    tr2 = motcpp_tpu.create_tracker("bytetrack", max_tracks=8,
+                                    max_dets=4, det_thresh=0.5,
+                                    track_thresh=0.5)
     low = np.array([[150, 150, 80, 160, 0.2, 0.99, 0]], np.float32)
     out2 = tr2.update(low, IMG)
     assert out2.shape[0] == 0  # angle-as-conf below threshold: filtered
+
+    # SORT: the real OBB path replaces the quirk
+    tr3 = motcpp_tpu.create_tracker("sort", min_hits=1, max_tracks=8,
+                                    max_dets=4)
+    out3 = tr3.update(d, IMG)
+    assert out3.shape == (1, 9)
+    assert out3[0, 4] == np.float32(0.9)  # angle carried, col 4
+    assert out3[0, 6] == np.float32(0.3)  # true conf, col 6
 
 
 def test_plot_results_extras_and_grid(tmp_path):

@@ -875,3 +875,33 @@ def test_stream_migration_sharded_target():
             b.outs[hd.slot][b.out_masks[hd.slot]],
             rb.outs[hr.slot][rb.out_masks[hr.slot]],
         )
+
+
+def test_serving_latency_deployed_livereid_smoke():
+    """The DEPLOYED live-ReID operating point (int8 CNN + per-tracker
+    embedding cadence, bench.py::DEPLOYED_CADENCE) must run end to end
+    through the serving harness and stamp the config into its metric
+    name — the committed SLO table (tests/serving_slo.json) stays
+    reproducible with one command."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(root / "scripts" / "serving_latency.py"),
+         "--cpu", "--live-reid", "--tracker", "deepocsort",
+         "--reid-variant", "x0_25", "--reid-quant", "--emb-cadence", "8",
+         "--streams", "8", "--ticks", "3", "--warmup", "1",
+         "--producers", "1", "--max-tracks", "16", "--max-dets", "4",
+         "--objects", "2"],
+        capture_output=True, text=True, timeout=600, cwd=root,
+    )
+    assert r.returncode == 0, r.stderr
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["metric"] == (
+        "deepocsort_livereid_x0_25_int8_ec8_serving_tick_latency_ms"
+    )
+    assert 0 < res["p50"] <= res["p99"]
+
