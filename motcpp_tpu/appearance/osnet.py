@@ -23,6 +23,7 @@ numerics to <=1e-4.
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
 from typing import Sequence
 
 import flax.linen as nn
@@ -257,10 +258,23 @@ def osnet_x0_25(feature_dim: int = 512, dw_impl: str = "conv") -> OSNet:
 
 
 def init_params(model: OSNet, input_hw=(256, 128), seed: int = 0):
-    """Initialize parameters for a given crop size (NHWC)."""
-    rng = jax.random.PRNGKey(seed)
-    dummy = jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
-    return model.init(rng, dummy, train=False)
+    """Initialize parameters for a given crop size (NHWC).
+
+    Runs on the host CPU backend and returns NUMPY leaves: params are
+    setup-time constants that get closed over / device_put once by the
+    caller, and initializing them through a remote-device tunnel pays
+    per-op round trips (measured 130 s for x1_0 on the axon tunnel vs
+    ~2 s host-side).
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu is not None else _nullcontext():
+        rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
+        variables = model.init(rng, dummy, train=False)
+    return jax.device_get(variables) if cpu is not None else variables
 
 
 # --------------------------------------------------------------- convert

@@ -275,19 +275,34 @@ def quantize_osnet(model, variables, calib_crops=None, seed: int = 0):
         ImageNet-normalized statistics (fine for scale estimation —
         document measured cosine in the parity test either way).
     """
-    folded = fold_osnet(variables)
-    if calib_crops is None:
-        rng = np.random.default_rng(seed)
-        calib_crops = jnp.asarray(
-            rng.normal(0.0, 1.0, (8, 256, 128, 3)), jnp.float32
-        )
-    act_scales = jax.jit(lambda c: calibrate_osnet(folded, c))(calib_crops)
-    qweights = {}
-    for name, l in folded.items():
-        qk, wscale = _quantize_weight(l["kernel"])
-        qweights[name] = dict(kernel=qk, wscale=wscale, bias=l["bias"])
-    return dict(folded=folded, q=qweights,
-                act=jax.tree_util.tree_map(jnp.asarray, act_scales))
+    # The whole pipeline is setup-time constant folding: pin it to the
+    # host CPU backend and return numpy leaves. Eager per-layer ops
+    # through a remote-device tunnel pay one round trip EACH (measured
+    # 270 s for x1_0 on the axon tunnel vs ~3 s host-side); the caller
+    # closes over the result, so placement happens once at first jit.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    from contextlib import nullcontext
+
+    with jax.default_device(cpu) if cpu is not None else nullcontext():
+        folded = fold_osnet(jax.device_get(variables))
+        if calib_crops is None:
+            rng = np.random.default_rng(seed)
+            calib_crops = jnp.asarray(
+                rng.normal(0.0, 1.0, (8, 256, 128, 3)), jnp.float32
+            )
+        act_scales = jax.jit(
+            lambda c: calibrate_osnet(folded, c)
+        )(jax.device_get(calib_crops))
+        qweights = {}
+        for name, l in folded.items():
+            qk, wscale = _quantize_weight(l["kernel"])
+            qweights[name] = dict(kernel=qk, wscale=wscale, bias=l["bias"])
+        out = dict(folded=folded, q=qweights,
+                   act=jax.tree_util.tree_map(jnp.asarray, act_scales))
+    return jax.device_get(out) if cpu is not None else out
 
 
 def forward_int8(qvars, x, act_dtype=jnp.float32):

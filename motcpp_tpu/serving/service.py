@@ -67,11 +67,40 @@ class ServedBatch:
         return self.outs[handle.slot][m]
 
 
+@dataclasses.dataclass
+class PendingBatch:
+    """In-flight tick from :meth:`TrackingService.step_async`.
+
+    Holds device futures; ``result()`` blocks on the device fetch and
+    returns the :class:`ServedBatch`. Enables double-buffered serving:
+    dispatch tick t+1 (host assemble + H2D crop transfer) while tick
+    t's XLA program is still running, so the wire transfer — which
+    bounds the live-ReID tick on bandwidth-starved links — overlaps
+    compute instead of serializing with it (docs/deployment.md
+    "Pipelined serving")."""
+
+    present: np.ndarray
+    _outs: Any
+    _out_masks: Any
+    _t0: float
+    _svc_ref: Any
+
+    def result(self) -> ServedBatch:
+        batch = ServedBatch(
+            present=self.present,
+            outs=np.asarray(self._outs),
+            out_masks=np.asarray(self._out_masks),
+        )
+        self._svc_ref._record_tick(self._t0, batch)
+        return batch
+
+
 def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
                       with_embs: bool, with_warps: bool = False,
                       embed_fn: Callable | None = None,
                       crop_budget: int | None = None,
-                      emb_cadence: int | None = None):
+                      emb_cadence: int | None = None,
+                      compact_crops: bool = False):
     """Build the present/reset-gated batched step.
 
     Returns ``svc(states, dets, masks, present, reset[, embs][, warps])
@@ -95,6 +124,16 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
     sharded like states). The CNN batch shrinks ~k x per tick while
     track features ride each tracker's EMA/gallery; skipped streams'
     dets associate by motion for that tick (zero embeddings).
+
+    compact_crops (cadence only): the crops input is PRE-COMPACTED to
+    the scheduled slots — shape (S//k, n, Hc, Wc, 3), rows ordered by
+    slot id — and is scattered back to the full (S, n, ...) layout
+    in-graph (the schedule is re-derived from tick + stream_ids, so
+    the scatter indices are exact). This cuts the host->device crop
+    transfer k x per tick — the dominant wire cost of an images-in
+    tick — while producing bit-identical embeddings (non-scheduled
+    slots are zero + masked either way). Requires the per-shard slot
+    count to divide by k (TrackingService enforces / falls back).
     """
 
     vstep = jax.vmap(step_fn)
@@ -140,12 +179,25 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
             from motcpp_tpu.appearance.reid import embed_valid_crops
 
             emb_masks, budget = masks, crop_budget
+            crops_in = extra[0]
             if use_cadence:
                 gate = ((tick + stream_ids) % k_cad) == 0  # (S,)
                 emb_masks = masks & gate[:, None]
                 auto = -(-S // k_cad) * dets.shape[1]
                 budget = min(budget, auto) if budget is not None else auto
-            e = embed_valid_crops(embed_fn, extra[0], dets, emb_masks,
+                if compact_crops:
+                    # crops_in is (S//k, n, Hc, Wc, 3): only the slots
+                    # scheduled this tick crossed the wire. Scatter
+                    # them back to the full slot layout (exact S//k
+                    # scheduled rows per shard by the divisibility
+                    # invariant, so nonzero(size=) never pads).
+                    idx = jnp.nonzero(
+                        gate, size=S // k_cad, fill_value=0
+                    )[0]
+                    crops_in = jnp.zeros(
+                        (S,) + crops_in.shape[1:], crops_in.dtype
+                    ).at[idx].set(crops_in)
+            e = embed_valid_crops(embed_fn, crops_in, dets, emb_masks,
                                   budget=budget)
             extra = (e,) + tuple(extra[1:])
         if with_embs and with_warps:
@@ -204,7 +256,8 @@ class TrackingService:
                  crop_hw: tuple | None = None,
                  embed_fn: Callable | None = None,
                  crop_budget: int | None = None,
-                 emb_cadence: int | None = None):
+                 emb_cadence: int | None = None,
+                 cadence_compact: bool | None = None):
         """crop_hw + embed_fn switch the service to LIVE ReID: producers
         submit raw (n, Hc, Wc, 3) uint8 detection crops instead of
         embeddings (the mux carries them natively), and the CNN runs
@@ -220,7 +273,13 @@ class TrackingService:
         emb_cadence=k: embed each stream's crops only every k-th tick
         (staggered per slot; see make_service_step) — divides the
         per-tick CNN cost ~k x, the real-time live-ReID lever
-        (docs/deployment.md SLO table)."""
+        (docs/deployment.md SLO table).
+
+        cadence_compact: ship only the scheduled slots' crops to the
+        device each tick (k x fewer H2D bytes, bit-identical output).
+        Default None = on automatically whenever the per-device slot
+        count divides by k; False forces the full transfer (A/B
+        measurement), True raises if the divisibility doesn't hold."""
         self.n_streams = int(n_streams)
         self.max_dets = int(max_dets)
         self.emb_dim = int(emb_dim)
@@ -262,10 +321,30 @@ class TrackingService:
         if self._use_cadence and embed_fn is None:
             raise ValueError("emb_cadence requires live ReID "
                              "(crop_hw + embed_fn)")
+        # compacted crop transfer: with cadence k, only the ~S/k
+        # scheduled slots' crops cross the wire each tick (k x fewer
+        # H2D bytes, bit-identical embeddings). Needs the per-shard
+        # slot count to divide by k so every tick schedules exactly
+        # S//k slots (S//n_dev per shard); otherwise fall back to the
+        # full transfer.
+        self._cad_compact = (
+            self._use_cadence
+            and (self.n_streams // n_dev) % self.emb_cadence == 0
+        )
+        if cadence_compact is not None:
+            if cadence_compact and not self._cad_compact:
+                raise ValueError(
+                    "cadence_compact needs emb_cadence > 1 and the "
+                    "per-device slot count to divide by it "
+                    f"(n_streams={n_streams}, devices={n_dev}, "
+                    f"k={self.emb_cadence})"
+                )
+            self._cad_compact = bool(cadence_compact)
         svc = make_service_step(
             init_fn, step_fn, with_embs=emb_dim > 0,
             with_warps=self.with_warps, embed_fn=embed_fn,
             crop_budget=shard_budget, emb_cadence=emb_cadence,
+            compact_crops=self._cad_compact,
         )
 
         if n_dev > 1:
@@ -374,6 +453,23 @@ class TrackingService:
     # ------------------------------------------------------------------
     def step(self) -> ServedBatch:
         """Assemble one batch and run one tracker step over all slots."""
+        return self.step_async().result()
+
+    def step_async(self) -> PendingBatch:
+        """Dispatch one tick without waiting for its outputs.
+
+        Assembles the batch, starts the H2D transfer, enqueues the XLA
+        program, and returns immediately with a :class:`PendingBatch`;
+        call ``.result()`` to fetch. Dispatching tick t+1 before
+        resolving tick t double-buffers the service: the next tick's
+        crop transfer rides the copy engine while the current tick
+        computes, so the steady-state tick interval is
+        max(transfer, compute) instead of their sum — the lever that
+        makes images-in configs meet the 33 ms tick SLO on hosts where
+        the crop wire transfer alone approaches the budget
+        (scripts/serving_latency.py --pipeline). States are sequenced
+        by dispatch order, so interleaving is safe from one loop
+        thread; outputs must be resolved in dispatch order."""
         t0 = time.perf_counter()
         dets, mask, embs, warps, present, crops = self.mux.assemble()
         with self._lock:
@@ -392,6 +488,14 @@ class TrackingService:
                 jnp.arange(self.n_streams, dtype=jnp.int32),
             ]
         if self._embed_fn is not None:
+            if self._cad_compact:
+                # ship only the slots scheduled to embed this tick
+                # (schedule mirrors make_service_step's gate exactly)
+                gate = (
+                    (self._ticks + np.arange(self.n_streams))
+                    % self.emb_cadence == 0
+                )
+                crops = crops[gate]
             args.append(jnp.asarray(crops))
         elif self.emb_dim > 0:
             args.append(jnp.asarray(embs))
@@ -406,13 +510,16 @@ class TrackingService:
         args = args[:4] + cadence_args + args[4:]
         self._states, (outs, out_masks) = self._svc(self._states, *args)
         self._ticks += 1
-        batch = ServedBatch(
+        return PendingBatch(
             present=np.asarray(present),
-            outs=np.asarray(outs),
-            out_masks=np.asarray(out_masks),
+            _outs=outs, _out_masks=out_masks, _t0=t0, _svc_ref=self,
         )
+
+    def _record_tick(self, t0: float, batch: ServedBatch) -> None:
         # observability: wall time of the whole tick (assemble + device
-        # step + fetch) and slot occupancy — stats() exposes these for
+        # step + fetch; for pipelined callers this is the DISPATCH->
+        # FETCH latency, which overlapping ticks can stretch past the
+        # tick interval) and slot occupancy — stats() exposes these for
         # SLO monitoring (scripts/serving_latency.py measures the full
         # distribution offline)
         ms = (time.perf_counter() - t0) * 1e3
@@ -423,7 +530,6 @@ class TrackingService:
             else 0.95 * self._tick_ms_ewma + 0.05 * ms
         )
         self._last_present = int(batch.present.sum())
-        return batch
 
     def _init_states(self):
         states = jax.vmap(lambda _: self._init_fn())(

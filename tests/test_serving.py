@@ -905,3 +905,61 @@ def test_serving_latency_deployed_livereid_smoke():
     )
     assert 0 < res["p50"] <= res["p99"]
 
+
+
+@pytest.mark.parametrize("n_dev", [1, 2])
+def test_cadence_compact_transfer_bit_exact(n_dev):
+    """Compacted crop transfer (ship only the slots scheduled to embed
+    this tick, scatter in-graph) emits bit-for-bit what the full
+    transfer emits, single-device and sharded — the k x H2D cut is
+    free. Also pins step_async(): the pipelined dispatch path IS
+    step()'s implementation, resolved out of line."""
+    import jax
+
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs 2 devices")
+    hw, dim, k, S = (32, 16), 16, 2, 4 * n_dev
+    embed, _ = _embed_pair(hw, dim)
+
+    from motcpp_tpu.models.botsort import BotSortConfig, make_botsort
+
+    cfg = BotSortConfig(max_tracks=16, max_dets=8, emb_dim=dim,
+                        with_reid=True)
+    init_fn, step_fn = make_botsort(cfg)
+
+    def mk(compact):
+        return TrackingService(
+            init_fn, step_fn, n_streams=S, max_dets=8, emb_dim=dim,
+            devices=jax.devices()[:n_dev], crop_hw=hw, embed_fn=embed,
+            emb_cadence=k, cadence_compact=compact,
+        )
+
+    a, b = mk(True), mk(False)
+    assert a._cad_compact and not b._cad_compact
+    rng = np.random.default_rng(7)
+    ha = [a.attach() for _ in range(S)]
+    hb = [b.attach() for _ in range(S)]
+    got = 0
+    for t in range(2 * k + 1):
+        frames = [
+            (_frame(rng, 3),
+             rng.integers(0, 255, (3,) + hw + (3,)).astype(np.uint8))
+            for _ in range(S)
+        ]
+        for h1, h2, (d, c) in zip(ha, hb, frames):
+            a.submit(h1, d, crops=c)
+            b.submit(h2, d, crops=c)
+        pend = a.step_async()  # pipelined dispatch path
+        rb = b.step()
+        ra = pend.result()
+        np.testing.assert_array_equal(ra.outs, rb.outs)
+        np.testing.assert_array_equal(ra.out_masks, rb.out_masks)
+        got += int(ra.out_masks.sum())
+    assert got > 0  # the scenario actually emits tracks
+
+    with pytest.raises(ValueError, match="cadence_compact"):
+        TrackingService(
+            init_fn, step_fn, n_streams=3, max_dets=8, emb_dim=dim,
+            devices=jax.devices()[:1], crop_hw=hw, embed_fn=embed,
+            emb_cadence=2, cadence_compact=True,
+        )
