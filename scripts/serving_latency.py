@@ -100,6 +100,29 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache, shared with bench.py: the SLO sweep
+    # revisits the same (tracker, S, N) programs across configurations
+    # — cached compiles turn minutes of warmup into seconds. Sweep
+    # partial entries left by killed runs (they wedge axon lookups).
+    import os
+    from pathlib import Path as _Path
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/motcpp_jax_cache")
+    try:
+        entries = list(_Path(cache_dir).glob("*"))
+    except OSError:
+        entries = []
+    for p in entries:
+        try:
+            if p.suffix == ".tmp" or p.stat().st_size == 0:
+                p.unlink(missing_ok=True)
+        except OSError:
+            pass
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass  # older jax without the persistent cache
     if jax.devices()[0].platform != "tpu":
         # Pallas lowering is TPU-only; interpret-mode is too slow to time
         if args.lap == "auction_pallas":
@@ -158,19 +181,27 @@ def main():
         mine = handles[tid::args.producers]
         started.wait()
         seen = -1
+        # crop pool: synthesizing fresh random pixels every tick costs
+        # more host time than a camera's memcpy would — pre-generate a
+        # pool and serve rotating contiguous copies (distinct bytes per
+        # tick, realistic producer cost)
+        pool = None
+        if crop_hw is not None:
+            pool = rng.integers(
+                0, 255, (args.max_dets * 4,) + crop_hw + (3,)
+            ).astype(np.uint8)
         while not stop[0]:
             e = epoch[0]
             if e == seen:
                 time.sleep(0.0005)
                 continue
             seen = e
-            for h in mine:
+            for j, h in enumerate(mine):
                 d = synth_frame(rng, args.objects, args.max_dets)
                 crops = None
-                if crop_hw is not None:
-                    crops = rng.integers(
-                        0, 255, (d.shape[0],) + crop_hw + (3,)
-                    ).astype(np.uint8)
+                if pool is not None:
+                    o = (e + j) % (pool.shape[0] - d.shape[0])
+                    crops = pool[o:o + d.shape[0]].copy()
                 svc.submit(h, d, crops=crops)
 
     threads = [threading.Thread(target=feeder, args=(t,), daemon=True)
