@@ -528,6 +528,12 @@ def main():
         "--reid-variant experiments",
     )
     ap.add_argument(
+        "--metric-suffix", default="",
+        help="suffix appended to the metric name in single-tracker "
+        "mode (used by the full scoreboard's subprocess legs to "
+        "reproduce suffixed rows like _cmc_ecc)",
+    )
+    ap.add_argument(
         "--cmc", nargs="?", const="warps", default="",
         choices=["", "warps", "ecc", "sof"],
         help="CMC leg: 'warps' feeds precomputed per-frame camera-jitter "
@@ -574,21 +580,69 @@ def main():
     except Exception:
         pass  # older jax without the persistent cache
 
-    # every row is also appended to BENCH_FULL.json next to this file:
-    # the driver's evidence artifact keeps only a stdout tail (ADVICE
-    # r3), so the full scoreboard must persist somewhere inspectable
+    # full-scoreboard runs also persist every row to BENCH_FULL.json
+    # next to this file: the driver's evidence artifact keeps only a
+    # stdout tail (ADVICE r3), so the full scoreboard must persist
+    # somewhere inspectable. Single-row runs do NOT write it (ADVICE
+    # r4: a one-row run must not clobber the full-scoreboard artifact).
     rows = []
 
     def emit(rec):
         rows.append(rec)
         print(json.dumps(rec), flush=True)
 
+    def emit_subprocess(extra_argv, label, timeout_s=2400):
+        """Run one risky row in a FRESH process and emit its JSON line.
+
+        BENCH_r04 was rc=1: a TPU worker kernel fault inside the live
+        in-graph ECC leg killed the process and every row scheduled
+        after it. Risky legs (live CMC, live ReID — anything carrying
+        new in-graph kernels) therefore run isolated: a crash costs one
+        row (recorded as an error entry in BENCH_FULL.json), never the
+        artifact, and the next leg reconnects on a fresh worker."""
+        import subprocess
+
+        cmd = [sys.executable, __file__,
+               "--frames", str(args.frames),
+               "--repeats", str(args.repeats),
+               "--lap", args.lap] + extra_argv
+        if args.cpu:
+            cmd.append("--cpu")
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=timeout_s
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# [{label}] LEG TIMED OUT after {timeout_s}s — "
+                  "skipped", file=sys.stderr, flush=True)
+            rows.append({"metric": label, "error": f"timeout {timeout_s}s"})
+            return
+        for line in proc.stderr.splitlines():
+            if line.startswith("#"):
+                print(line, file=sys.stderr, flush=True)
+        rec = None
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+        if proc.returncode != 0 or rec is None:
+            tail = "\n".join(proc.stderr.splitlines()[-3:])
+            print(f"# [{label}] LEG FAILED rc={proc.returncode}: {tail}",
+                  file=sys.stderr, flush=True)
+            rows.append({"metric": label,
+                         "error": f"rc={proc.returncode}: {tail[-300:]}"})
+            return
+        emit(rec)
+
     try:
         if args.tracker:
             if args.livereid:
                 emit(bench_livereid(args.tracker, args))
             else:
-                emit(bench_one(args.tracker, args))
+                emit(bench_one(args.tracker, args, None, args.metric_suffix))
             return
         # full scoreboard: 8 trackers, capacity rows, live-ReID rows,
         # then the flagship (ByteTrack base row) LAST for single-line
@@ -611,26 +665,31 @@ def main():
             # the largest embedding cadence whose measured HOTA cost
             # on the 600-frame ablation scene is <=1.0
             # (tests/accuracy_cadence.json, docs/benchmarking.md) —
-            # unless --emb-cadence/--reid-quant override.
-            import copy as _copy
-
+            # unless --emb-cadence/--reid-quant override. All of these
+            # legs run in subprocesses (see emit_subprocess).
+            #
             # live-CMC row: frames -> ecc_jax_batch -> warps -> tracker,
             # all in-graph (ECC is StrongSORT's default CMC; the
             # reference runs it per frame on the host, ecc.cpp:22-98)
-            emit(bench_one("strongsort", args,
-                           dict(streams=512, cmc="ecc"), "_cmc_ecc"))
-            raw = _copy.copy(args)
-            raw.emb_cadence = 1
-            raw.reid_quant = False
-            emit(bench_livereid("strongsort", raw))
+            emit_subprocess(
+                ["--tracker", "strongsort", "--cmc", "ecc",
+                 "--streams", "512", "--metric-suffix", "_cmc_ecc"],
+                "strongsort_cmc_ecc",
+            )
+            emit_subprocess(
+                ["--tracker", "strongsort", "--livereid",
+                 "--emb-cadence", "1"],
+                "strongsort_livereid_bf16_everyframe",
+            )
             for trk, k in DEPLOYED_CADENCE.items():
-                oper = _copy.copy(args)
-                oper.reid_quant = True
-                oper.emb_cadence = args.emb_cadence or k
-                emit(bench_livereid(trk, oper))
+                emit_subprocess(
+                    ["--tracker", trk, "--livereid", "--reid-quant",
+                     "--emb-cadence", str(args.emb_cadence or k)],
+                    f"{trk}_livereid_deployed",
+                )
         emit(bench_one("bytetrack", args))
     finally:
-        if rows:
+        if rows and not args.tracker:
             from pathlib import Path
 
             out = Path(__file__).resolve().parent / "BENCH_FULL.json"

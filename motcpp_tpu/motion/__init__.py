@@ -15,4 +15,12 @@ from motcpp_tpu.motion.cmc import (
     sof_jax_batch,
 )
 
-__all__ = ["ECC", "SOF", "SOFJax", "create_cmc", "sof_jax_batch"]
+__all__ = [
+    "ECC",
+    "ECCJax",
+    "SOF",
+    "SOFJax",
+    "create_cmc",
+    "ecc_jax_batch",
+    "sof_jax_batch",
+]

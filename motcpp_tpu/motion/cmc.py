@@ -330,7 +330,7 @@ def sof_jax_batch(prev, cur, n_corners: int = 256, win: int = 10,
 
 
 @functools.partial(__import__("jax").jit, static_argnames=("n_iters",))
-def _ecc_jax_core(prev, cur, n_iters: int = 30):
+def _ecc_jax_core(prev, cur, n_iters: int = 8):
     """Translation-only ECC alignment of one grayscale pair.
 
     prev/cur: (H, W) float32 (already at CMC scale). Returns
@@ -345,7 +345,10 @@ def _ecc_jax_core(prev, cur, n_iters: int = 30):
          convergence basin (cv2's ECC simply fails there and the
          reference falls back to identity, ecc.cpp:83-90);
       2. ``n_iters`` ECC iterations (zero-mean correlation objective,
-         forward-additive Gauss-Newton) refine to sub-pixel.
+         forward-additive Gauss-Newton) refine to sub-pixel. The init
+         lands within ~0.5px, so the default 8 iterations are pure
+         sub-pixel polish (the step-norm freeze makes extra iterations
+         no-ops once converged).
 
     Non-convergence / flat-image degeneracy -> identity + ok=False,
     the reference's StsNoConv contract.
@@ -377,43 +380,77 @@ def _ecc_jax_core(prev, cur, n_iters: int = 30):
 
     # --- ECC refinement over the interior (static margin avoids the
     # zero-filled borders translation drags in) ---
+    #
+    # TPU note: the warp is translation-only, so the sampling decomposes
+    # into (a) the INTEGER phase-correlation shift, applied once up
+    # front as a dynamic jnp.roll that aligns cur to prev (the band the
+    # roll wraps in is masked out of every reduction below), and (b) a
+    # small sub-pixel RESIDUAL refined by Gauss-Newton, whose bilinear
+    # resample of the regular interior grid is exactly four
+    # lax.dynamic_slice windows blended by the fractional part. No
+    # per-pixel gathers anywhere: the first cut of this kernel indexed
+    # im[y0i, x0i] with (H, W) index matrices, and vmapped over S=512
+    # streams inside the 30-iteration scan those gathers faulted the
+    # TPU worker (BENCH_r04 rc=1, bench.py _cmc_ecc leg).
     m = 8
-    ys = jnp.arange(m, H - m, dtype=jnp.float32)
-    xs = jnp.arange(m, W - m, dtype=jnp.float32)
-    yg, xg = jnp.meshgrid(ys, xs, indexing="ij")
+    ih, iw_n = H - 2 * m, W - 2 * m  # interior window size (static)
+    res_max = float(m - 2)  # residual GN clamp keeps slices in range
 
-    def bilinear(im, yy, xx):
-        y0 = jnp.floor(yy)
-        x0 = jnp.floor(xx)
-        fy = yy - y0
-        fx = xx - x0
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-        y1i = jnp.clip(y0i + 1, 0, H - 1)
-        x1i = jnp.clip(x0i + 1, 0, W - 1)
+    ti_y = jnp.round(ty0).astype(jnp.int32)
+    ti_x = jnp.round(tx0).astype(jnp.int32)
+    # align cur to prev by the integer shift:
+    # cur_al(y, x) = cur(y + ti_y, x + ti_x) where in-bounds
+    cur_al = jnp.roll(jnp.roll(cur, -ti_y, 0), -ti_x, 1)
+    # validity of the aligned interior, eroded by the residual clamp so
+    # the mask stays conservative for every GN iterate; the extra 1px
+    # ring erosion covers the window-internal gradient stencil below
+    yy = jnp.arange(m, H - m)
+    xx = jnp.arange(m, W - m)
+    vy = ((yy + ti_y) >= m) & ((yy + ti_y) <= H - 1 - m)
+    vy = vy & (yy > m) & (yy < H - 1 - m)
+    vx = ((xx + ti_x) >= m) & ((xx + ti_x) <= W - 1 - m)
+    vx = vx & (xx > m) & (xx < W - 1 - m)
+    wgt = (vy[:, None] & vx[None, :]).astype(jnp.float32)
+    n_w = jnp.sum(wgt) + 1e-9
+
+    def sample_interior(im, ry, rx):
+        """Bilinear sample of aligned im at the interior grid + (ry, rx),
+        |r| <= res_max < m, via 4 dynamic-slice windows."""
+        y0 = jnp.floor(ry)
+        x0 = jnp.floor(rx)
+        fy = ry - y0
+        fx = rx - x0
+        sy = m + y0.astype(jnp.int32)
+        sx = m + x0.astype(jnp.int32)
+
+        def win(dy, dx):
+            return jax.lax.dynamic_slice(im, (sy + dy, sx + dx), (ih, iw_n))
+
         return (
-            im[y0i, x0i] * (1 - fy) * (1 - fx)
-            + im[y0i, x1i] * (1 - fy) * fx
-            + im[y1i, x0i] * fy * (1 - fx)
-            + im[y1i, x1i] * fy * fx
+            win(0, 0) * (1 - fy) * (1 - fx)
+            + win(0, 1) * (1 - fy) * fx
+            + win(1, 0) * fy * (1 - fx)
+            + win(1, 1) * fy * fx
         )
 
-    gx = (jnp.roll(cur, -1, 1) - jnp.roll(cur, 1, 1)) * 0.5
-    gy = (jnp.roll(cur, -1, 0) - jnp.roll(cur, 1, 0)) * 0.5
     tmpl = prev[m:H - m, m:W - m]
-    tbar = tmpl - tmpl.mean()
+    tbar = (tmpl - jnp.sum(wgt * tmpl) / n_w) * wgt
     t_norm2 = jnp.sum(tbar * tbar)
 
     def ecc_iter(carry, _):
-        tx, ty, frozen = carry
-        yw = yg + ty
-        xw = xg + tx
-        iw = bilinear(cur, yw, xw)
-        gxw = bilinear(gx, yw, xw)
-        gyw = bilinear(gy, yw, xw)
-        ibar = iw - iw.mean()
-        gxb = gxw - gxw.mean()
-        gyb = gyw - gyw.mean()
+        rx, ry, frozen = carry
+        iw = sample_interior(cur_al, ry, rx)
+        # image gradients by central differences WITHIN the sampled
+        # window (the wgt ring erosion masks the 1px wrap band): one
+        # resample pass instead of three — gradients of the bilinear
+        # resample converge to the same fixed point as resampled
+        # gradients (standard LK practice)
+        gxw = (jnp.roll(iw, -1, 1) - jnp.roll(iw, 1, 1)) * 0.5
+        gyw = (jnp.roll(iw, -1, 0) - jnp.roll(iw, 1, 0)) * 0.5
+        # zero-mean over the VALID support only (masked reductions)
+        ibar = (iw - jnp.sum(wgt * iw) / n_w) * wgt
+        gxb = (gxw - jnp.sum(wgt * gxw) / n_w) * wgt
+        gyb = (gyw - jnp.sum(wgt * gyw) / n_w) * wgt
         # 2x2 Gram of the (zero-mean) translation Jacobian columns
         c11 = jnp.sum(gxb * gxb) + 1e-9
         c12 = jnp.sum(gxb * gyb)
@@ -439,8 +476,8 @@ def _ecc_jax_core(prev, cur, n_iters: int = 30):
         d1, d2 = cinv(err1, err2)
         step_ok = (den > 1e-9) & jnp.isfinite(d1) & jnp.isfinite(d2)
         upd = step_ok & ~frozen
-        tx = jnp.where(upd, tx + d1, tx)
-        ty = jnp.where(upd, ty + d2, ty)
+        rx = jnp.clip(jnp.where(upd, rx + d1, rx), -res_max, res_max)
+        ry = jnp.clip(jnp.where(upd, ry + d2, ry), -res_max, res_max)
         # eps-convergence freeze (the reference's TERM_CRITERIA_EPS 1e-5
         # is on the correlation delta; a step-norm freeze is the same
         # fixed point and keeps the scan branch-free)
@@ -448,16 +485,21 @@ def _ecc_jax_core(prev, cur, n_iters: int = 30):
         rho = jnp.sum(tbar * ibar) / (
             jnp.sqrt(t_norm2 * i_norm2) + 1e-9
         )
-        return (tx, ty, frozen), rho
+        return (rx, ry, frozen), rho
 
-    (tx, ty, _), rhos = jax.lax.scan(
-        ecc_iter, (tx0, ty0, jnp.bool_(False)), None, length=n_iters
+    r0 = (tx0 - ti_x.astype(jnp.float32), ty0 - ti_y.astype(jnp.float32))
+    (rx, ry, _), rhos = jax.lax.scan(
+        ecc_iter, (r0[0], r0[1], jnp.bool_(False)), None, length=n_iters
     )
     rho = rhos[-1]
+    tx = ti_x.astype(jnp.float32) + rx
+    ty = ti_y.astype(jnp.float32) + ry
     ok = (
         jnp.isfinite(tx) & jnp.isfinite(ty)
         & (rho > 0.2)
         & (jnp.abs(tx) < 0.5 * W) & (jnp.abs(ty) < 0.5 * H)
+        # enough valid overlap for the masked statistics to mean anything
+        & (n_w > 0.25 * ih * iw_n)
     )
     warp = jnp.asarray(
         [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32
@@ -466,7 +508,7 @@ def _ecc_jax_core(prev, cur, n_iters: int = 30):
     return jnp.where(ok, warp, ident), ok
 
 
-def ecc_jax_batch(prev, cur, n_iters: int = 30):
+def ecc_jax_batch(prev, cur, n_iters: int = 8):
     """Batched translation-ECC: (S, H, W) grayscale pairs ->
     ((S, 2, 3) warps, (S,) ok flags) in ONE device pass.
 
@@ -493,29 +535,39 @@ class ECCJax:
     of host cv2 — and needs no OpenCV at all.
     """
 
-    def __init__(self, scale: float = 0.15, n_iters: int = 30):
+    def __init__(self, scale: float = 0.15, n_iters: int = 8):
         self.scale = scale
         self.n_iters = n_iters
         self._prev = None
 
     def _downscale(self, gray):
+        """Returns (small, (sy, sx)) — the ACHIEVED per-axis scales.
+
+        The 32px floor and int truncation mean the effective scale can
+        differ from the nominal self.scale (small frames especially);
+        apply() must rescale translations by what actually happened,
+        not by the request (ADVICE r4)."""
         h, w = gray.shape
         nh = max(int(h * self.scale), 32)
         nw = max(int(w * self.scale), 32)
         import jax
 
-        return jax.image.resize(gray, (nh, nw), "linear")
+        return jax.image.resize(gray, (nh, nw), "linear"), (nh / h, nw / w)
 
     def apply(self, img, dets=None) -> np.ndarray:
         import jax.numpy as jnp
 
-        small = self._downscale(jnp.asarray(_to_gray(img)))
+        small, (sy, sx) = self._downscale(jnp.asarray(_to_gray(img)))
         if self._prev is None or self._prev.shape != small.shape:
             self._prev = small
             return IDENTITY.copy()
         warp, _ = _ecc_jax_core(self._prev, small, n_iters=self.n_iters)
         warp = np.array(warp)
-        warp[:, 2] /= self.scale  # rescale translation (ecc.cpp:70-80)
+        # rescale translation by the achieved per-axis ratios
+        # (ecc.cpp:70-80 divides by the nominal scale; identical when
+        # the resize hits it exactly)
+        warp[0, 2] /= sx
+        warp[1, 2] /= sy
         self._prev = small
         return warp
 
@@ -533,19 +585,21 @@ class SOFJax:
         self._shape = None
 
     def _downscale(self, gray):
+        """Returns (small, (sy, sx)) achieved per-axis scales — see
+        ECCJax._downscale for why translations rescale by these."""
         h, w = gray.shape
         nh, nw = max(int(h * self.scale), 32), max(int(w * self.scale), 32)
         import jax
 
         return np.asarray(
             jax.image.resize(gray, (nh, nw), "linear")
-        )
+        ), (nh / h, nw / w)
 
     def apply(self, img, dets=None) -> np.ndarray:
         import jax.numpy as jnp
 
         gray = _to_gray(img)
-        small = self._downscale(jnp.asarray(gray))
+        small, (sy, sx) = self._downscale(jnp.asarray(gray))
         if self._prev is None or self._prev.shape != small.shape:
             self._prev = small
             return IDENTITY.copy()
@@ -554,7 +608,8 @@ class SOFJax:
             n_corners=self.n_corners,
         )
         warp = np.array(warp)  # copy: jnp arrays are read-only
-        warp[:, 2] /= self.scale
+        warp[0, 2] /= sx
+        warp[1, 2] /= sy
         self._prev = small
         return warp
 

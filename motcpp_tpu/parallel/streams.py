@@ -381,13 +381,19 @@ class MultiStreamRunner:
         return states
 
     def run(self, dets, masks, embs=None, warps=None, states=None,
-            frames=None):
+            frames=None, frame0=None):
         """Track T frames across all streams; returns (outs, out_masks)
         and retains carry state for subsequent calls (streaming use).
         embs (T, S, N, D) required iff constructed with_embs=True;
         warps (T, S, 2, 3) required iff with_warps=True;
         frames (T, S, h, w) float32 CMC-scale grayscale required iff
-        constructed with cmc_fn (live in-graph warp estimation)."""
+        constructed with cmc_fn (live in-graph warp estimation).
+
+        Stateless use: passing ``states=`` explicitly makes the call
+        pure — the runner's internal cadence phase is neither used nor
+        advanced (pass ``frame0=`` to position the embedding cadence;
+        default 0), so repeated stateless calls are reproducible
+        (ADVICE r4)."""
         if (embs is not None) != self.with_embs:
             raise ValueError(
                 "pass embs iff the runner was built with with_embs=True"
@@ -400,6 +406,7 @@ class MultiStreamRunner:
             raise ValueError(
                 "pass frames iff the runner was built with cmc_fn"
             )
+        stateless = states is not None
         if states is None:
             states = self._states if self._states is not None else self.init_states()
         else:
@@ -438,14 +445,37 @@ class MultiStreamRunner:
                 ids = jax.device_put(
                     ids, NamedSharding(self.mesh, P("streams"))
                 )
-            args = (jnp.int32(self._frame0), ids) + args
-            self._frame0 += int(np.shape(dets)[0])  # advance by T frames
+            if stateless:
+                # pure call: cadence phase comes from the caller (or 0),
+                # the runner-held phase is untouched
+                f0 = int(frame0 or 0)
+            else:
+                f0 = self._frame0
+                self._frame0 += int(np.shape(dets)[0])  # advance by T
+            args = (jnp.int32(f0), ids) + args
+        elif frame0 is not None:
+            raise ValueError("frame0 only applies with emb_cadence set")
         carry, outs = self._rollout(states, *args)
+        if stateless:
+            # don't clobber the streaming carry with the pure call's
+            return outs
         if self.with_cmc:
             self._states, self._prev_frames, _ = carry
         else:
             self._states = carry
         return outs
+
+    def set_states(self, states, frame0: int = 0):
+        """Install a (e.g. checkpoint-restored) carry as the streaming
+        state and position the embedding-cadence phase. Subsequent
+        run() calls continue from it — the resume counterpart of the
+        pure ``run(states=...)`` call."""
+        self._states = jax.tree_util.tree_map(jnp.copy, states)
+        if len(self.devices) > 1:
+            self._states = jax.device_put(
+                self._states, NamedSharding(self.mesh, P("streams"))
+            )
+        self._frame0 = int(frame0)
 
     @property
     def states(self):
