@@ -184,8 +184,15 @@ def _time_rollout(runner, args, label, run_args, run_kw):
     for _ in range(args.repeats):
         out = runner.run(*run_args, **run_kw)
         jax.block_until_ready(out)
+    # the validating fetch sits INSIDE the timed region: on the axon
+    # platform block_until_ready can return without waiting (observed
+    # on plain jitted fns; scan rollouts have measured correctly, but a
+    # dispatch-only timing must be structurally impossible in the
+    # committed artifact). The TPU runs enqueued programs in order, so
+    # this one scalar fetch waits for every queued repeat; its tunnel
+    # cost (~ms) is amortized over args.repeats.
+    float(np.asarray(out[0][-1]).ravel()[0])
     dt = (time.time() - t0) / args.repeats
-    float(np.asarray(out[0][-1]).ravel()[0])  # validate the last repeat
     return dt, emissions
 
 

@@ -1,10 +1,8 @@
 """Int8 quantized OSNet inference for the live-ReID serving path.
 
 The reference serves ReID through ONNX-Runtime float32 CPU inference
-(reference: src/appearance/onnx_backend.cpp:110-223). On TPU the MXU
-runs int8 matmuls/convs at twice the bf16 rate and int8 activations
-halve the HBM traffic of this bandwidth-bound network — so the
-throughput path quantizes:
+(reference: src/appearance/onnx_backend.cpp:110-223). This module
+quantizes the TPU inference path:
 
   * BatchNorm is folded into the preceding conv (inference-only
     algebra: w' = w * gamma / sqrt(var + eps), b' = beta - mean *
@@ -239,6 +237,115 @@ def forward_folded_f32(folded, x):
     return _forward_folded(folded, x)
 
 
+def compose_lite_dense(folded) -> dict:
+    """Compose every LightConv3x3 (1x1 pointwise -> 3x3 depthwise) into
+    ONE dense 3x3 conv with the rank-1-per-channel kernel
+
+        K[t, i, c] = kdw_c[t] * W1[i, c]
+
+    (exact algebra: the depthwise is per-channel, the pointwise mixes
+    channels, and no nonlinearity sits between them). Returns
+    {"<block>/<lite>": {"kernel" (3,3,Cin,C), "bias"}} for the lite
+    pairs plus every other folded entry unchanged.
+
+    Measured outcome on TPU v5e (B=2048 bf16, full model): 143.3 ms vs
+    the folded baseline's 129.4 ms — NO win, because XLA already fuses
+    each 1x1+depthwise pair into a single pass (pair microbench 3.65 ms
+    vs 3.9 ms for either op alone), so the composition saves no HBM
+    round trip and pays 9x the MXU FLOPs. Kept as the measured record
+    of the experiment and for backends whose grouped-conv lowering is
+    worse than their dense one. Numeric parity is exact
+    (tests/test_appearance.py).
+    """
+    out = {}
+    lites = set()
+    for name in folded:
+        if name.endswith("/conv1") and f"{name[:-6]}/conv2" in folded:
+            lites.add(name[:-6])
+    for name, l in folded.items():
+        base = name.rsplit("/", 1)[0]
+        if base in lites:
+            if name.endswith("/conv2"):
+                w1 = folded[f"{base}/conv1"]["kernel"]  # (1,1,Cin,C)
+                kdw = l["kernel"]  # (3,3,1,C)
+                k = w1[0, 0][None, None, :, :] * kdw[:, :, 0, :][:, :, None, :]
+                out[base] = dict(kernel=k.astype(jnp.float32),
+                                 bias=l["bias"])
+            continue  # conv1 of a lite: folded into the dense kernel
+        out[name] = l
+    return out
+
+
+def _forward_folded_dense(composed, x, qget=None):
+    """Forward over a compose_lite_dense() tree: same structure as
+    _forward_folded but each lite is ONE dense 3x3 conv."""
+
+    def conv(name, x, strides=(1, 1), padding="SAME", groups=1, relu=True):
+        l = composed[name]
+        if qget is not None:
+            y = qget(name, x, strides, padding, groups)
+        else:
+            y = _conv(x, l["kernel"], l["bias"], strides, padding, groups)
+        return jax.nn.relu(y) if relu else y
+
+    def lite(name, x):
+        return conv(name, x, padding=((1, 1), (1, 1)))
+
+    def gate(name, x):
+        s = jnp.mean(x, axis=(1, 2))
+        l1 = composed[f"{name}/fc1"]
+        s = jax.nn.relu(s @ l1["kernel"] + l1["bias"])
+        l2 = composed[f"{name}/fc2"]
+        s = jax.nn.sigmoid(s @ l2["kernel"] + l2["bias"])
+        return x * s[:, None, None, :]
+
+    def osblock(name, x, features):
+        identity = x
+        x1 = conv(f"{name}/conv1", x)
+        x2a = lite(f"{name}/conv2a", x1)
+        x2b = lite(f"{name}/conv2b_1", lite(f"{name}/conv2b_0", x1))
+        x2c = lite(f"{name}/conv2c_2",
+                   lite(f"{name}/conv2c_1", lite(f"{name}/conv2c_0", x1)))
+        x2d = lite(f"{name}/conv2d_3",
+                   lite(f"{name}/conv2d_2",
+                        lite(f"{name}/conv2d_1", lite(f"{name}/conv2d_0", x1))))
+        g = functools.partial(gate, f"{name}/gate")
+        x2 = g(x2a) + g(x2b) + g(x2c) + g(x2d)
+        x3 = conv(f"{name}/conv3", x2, relu=False)
+        if identity.shape[-1] != features:
+            identity = conv(f"{name}/downsample", identity, relu=False)
+        return jax.nn.relu(x3 + identity)
+
+    c1, c2, c3, c4 = _infer_channels(composed)
+    x = conv("conv1", x, strides=(2, 2), padding=((3, 3), (3, 3)))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    x = osblock("conv2_0", x, c2)
+    x = osblock("conv2_1", x, c2)
+    x = conv("conv2_2_0", x)
+    x = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+    x = osblock("conv3_0", x, c3)
+    x = osblock("conv3_1", x, c3)
+    x = conv("conv3_2_0", x)
+    x = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+    x = osblock("conv4_0", x, c4)
+    x = osblock("conv4_1", x, c4)
+    x = conv("conv5", x)
+    x = jnp.mean(x, axis=(1, 2))
+    head = composed["fc_0"]
+    if qget is not None:
+        x = qget("fc_0", x, None, None, 1)
+    else:
+        x = x @ head["kernel"] + head["bias"]
+    return jax.nn.relu(x)
+
+
 # ----------------------------------------------------------- quantization
 def _quantize_weight(kernel):
     """Per-output-channel symmetric int8. kernel (..., cout)."""
@@ -310,9 +417,16 @@ def forward_int8(qvars, x, act_dtype=jnp.float32):
 
     Depthwise convs stay float (grouped int8 convs gain nothing on the
     MXU and the requant round-trip costs accuracy); the 1x1/7x7 convs
-    and dense layers — where the FLOPs and bandwidth are — run int8.
-    act_dtype: dtype carried between layers (bfloat16 on TPU halves
-    the activation HBM traffic; float32 default for CPU/tests).
+    and dense layers run int8. act_dtype: dtype carried between layers.
+
+    MEASURED throughput caveat (TPU v5e via axon, 2026-08-19): int8
+    does NOT speed this model up on this stack — the primitive itself
+    shows no int8 advantage (1M x 256 x 256 dot_general: 3.44 ms int8
+    vs 3.07 ms bf16; dense 3x3 conv: 3.76 vs 3.68 ms), and the full
+    model measures 161.6 ms int8 vs 129.4 ms bf16-folded at B=2048
+    (quantize/requant passes cost extra). Use for memory footprint
+    (weights 4x smaller than f32), not speed; docs/benchmarking.md
+    carries the committed A/B.
     """
     folded = qvars["folded"]
     q = qvars["q"]
@@ -357,8 +471,10 @@ def make_embed_fn_int8(model, variables, norm=None, calib_crops=None,
     act_dtype: inter-layer activation dtype; defaults to bfloat16 on
     TPU (halves activation HBM traffic) and float32 on CPU (bf16 is
     software-emulated there). Cosine agreement vs the f32 path is
-    pinned in tests/test_appearance.py; use for throughput-bound
-    serving."""
+    pinned in tests/test_appearance.py. NOTE: measured on TPU v5e this
+    path is SLOWER than bf16 (see forward_int8) — prefer
+    make_embed_fn(compute_dtype="bfloat16") for throughput; int8 is a
+    footprint option."""
     from motcpp_tpu.appearance.reid import (
         IMAGENET_MEAN,
         IMAGENET_STD,

@@ -23,20 +23,23 @@ import numpy as np
 
 
 def timeit(fn, *args, repeats=20):
-    """block_until_ready inside the timed loop; ONE validating fetch of
-    a device-side SCALAR after it. Fetching block outputs (hundreds of
-    MB) through the axon tunnel stalls for seconds-to-minutes and was
-    inflating per-piece timings 100x — the fetch exists only to surface
-    silently-aborted remote computations, so reduce on device first."""
+    """Time `repeats` back-to-back dispatches, then fetch ONE device-side
+    SCALAR inside the timed region. On the axon remote platform
+    block_until_ready can return without waiting (observed: the full
+    model "timed" 7.8 ms while its own pieces measured 40-70 ms), so
+    the only reliable sync is a value fetch — the TPU executes enqueued
+    programs in order, so fetching the last result waits for all of
+    them, and a scalar keeps the tunnel transfer negligible. Fetching
+    block outputs (hundreds of MB) instead stalls seconds-to-minutes."""
     out = fn(*args)
-    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf))  # warm-up sync (also compiles)
     t0 = time.time()
     for _ in range(repeats):
         out = fn(*args)
-        jax.block_until_ready(out)
-    dt = (time.time() - t0) / repeats * 1000.0  # ms
     leaf = jax.tree_util.tree_leaves(out)[0]
-    float(jnp.sum(leaf))  # scalar fetch: raises if the run was aborted
+    float(jnp.sum(leaf))  # in-loop sync: waits for ALL queued repeats
+    dt = (time.time() - t0) / repeats * 1000.0  # ms
     return dt
 
 

@@ -204,3 +204,62 @@ def test_duplicate_track_oscillation_mechanism():
         assert out.shape[0] == 1, "exactly one emission per frame"
         ids.append(int(out[0, 4]))
     assert ids == [id_old, id_new] * 3, ids
+
+
+def test_gating_solve_quirk_adjudication():
+    """Adjudication pin for the reference's 3,991-IDSW profile
+    (VERDICT r4 missing #5, measured in
+    scripts/ref_replica/strongsort_model.py): the reference's
+    gating_distance computes chol.solve(d) — the FULL S^-1 — and then
+    squares (kalman_filter.cpp:170-176), i.e. d S^-2 d instead of
+    Mahalanobis d S^-1 d. Distances shrink ~|S|x, the chi2 gate never
+    fires, and association becomes ungated appearance-only matching.
+    The controlled model reproduces the reference binary digit-exactly
+    (HOTA 66.82 / IDSW 3991) and fixing that one solve — with every
+    other reference quirk intact — lands at IDSW 103 vs this repo's
+    102 (docs/accuracy.md).
+
+    Two pins: (1) the numeric shape of the quirk on a real projected
+    covariance; (2) this implementation must NOT teleport an id onto a
+    far-away detection with a perfect appearance match — the defining
+    behavioral difference (the ungated reference matches it)."""
+    import numpy as np
+
+    # (1) numbers: h=200 box, 90px offset
+    from motcpp_tpu.ops.kalman.gaussian import kf_xyah
+
+    z = np.asarray([[500.0, 500.0, 0.5, 200.0]], np.float32)
+    mean, cov = kf_xyah.initiate(jnp_asarray(z))
+    far = np.asarray([[590.0, 500.0, 0.5, 200.0]], np.float32)
+    maha = float(np.asarray(
+        kf_xyah.gating_distance(mean[0], cov[0], jnp_asarray(far))
+    )[0])
+    # proper Mahalanobis: well beyond the chi2inv95[4] gate
+    assert maha > 9.4877, maha
+    # the reference's d S^-2 d on the same S: far below the gate
+    import jax.numpy as jnp
+
+    pm, S = kf_xyah.project(mean[0], cov[0], 0.0)
+    d = np.asarray(far[0] - np.asarray(pm))
+    quirk = float(d @ np.linalg.solve(
+        np.asarray(S), np.linalg.solve(np.asarray(S), d)))
+    assert quirk < 1.0, quirk  # the gate can never fire at 9.4877
+
+    # (2) behavior: perfect appearance + impossible motion must NOT match
+    tr = small(n_init=1, min_conf=0.6, max_cos_dist=0.4)
+    e = _emb([1, 0, 0, 0.3])
+    d0 = np.array([det(100, 100, 200, 300)], np.float32)
+    for _ in range(3):
+        out = tr.update(d0, IMG, embs=e)
+    tid = int(out[0, 4])
+    d_far = np.array([det(900, 600, 1000, 800)], np.float32)
+    tr.update(d_far, IMG, embs=e)  # same embedding, teleported box
+    out = tr.update(d_far, IMG, embs=e)  # new track confirms + emits here
+    assert out.shape[0] >= 1
+    assert all(int(r[4]) != tid for r in out), out
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
