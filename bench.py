@@ -334,20 +334,24 @@ CAPACITY_ROWS = [
 ]
 CAPACITY_TRACKERS = ["strongsort", "boosttrack", "bytetrack"]
 
-# deployed live-ReID operating point per tracker: the largest embedding
-# cadence whose measured HOTA cost on the 600-frame ablation scene is
-# <=1.0 vs every-frame embedding (tests/accuracy_cadence.json;
-# methodology in docs/benchmarking.md). BotSORT/DeepOC-SORT ride their
-# EMA banks flat to k=8; BoostTrack is flat to k=2; StrongSORT's
-# gallery NN metric and HybridSORT's TCM pay ~3-5 HOTA at k=2, so they
-# deploy every-frame. All deploy the int8 CNN (cosine>=0.995 pinned,
-# tests/test_appearance.py::TestQuantizedInference).
-DEPLOYED_CADENCE = {
-    "strongsort": 1,
-    "botsort": 8,
-    "deepocsort": 8,
-    "boosttrack": 2,
-    "hybridsort": 1,
+# deployed live-ReID operating point per tracker: the cheapest CNN
+# load whose measured HOTA cost on the 600-frame ablation scene is
+# <=1.0 vs every-frame embedding (tests/accuracy_cadence.json +
+# tests/accuracy_budget.json; methodology in docs/benchmarking.md).
+# BotSORT/DeepOC-SORT ride their EMA banks flat to cadence k=8;
+# BoostTrack is flat to k=2. StrongSORT pays 3.2 HOTA at cadence k=2
+# but only 0.64 at a PRIORITY budget of 0.6 (novelty/crowding/rotation
+# selection, parallel.streams.embedding_priority), so it deploys
+# priority-0.6; HybridSORT's TCM pays 5 HOTA at cadence k=2 but only
+# 0.73 at a priority budget of 0.8. The CNN runs bf16 BN-folded (the fastest measured
+# configuration on this stack; int8 measured SLOWER than bf16 -- see
+# appearance/quant.py and docs/benchmarking.md).
+DEPLOYED = {
+    "strongsort": ["--emb-priority", "0.6"],
+    "botsort": ["--emb-cadence", "8"],
+    "deepocsort": ["--emb-cadence", "8"],
+    "boosttrack": ["--emb-cadence", "2"],
+    "hybridsort": ["--emb-priority", "0.8"],
 }
 
 
@@ -391,7 +395,8 @@ def bench_livereid(tracker: str, args) -> dict:
         embed = make_embed_fn_int8(model, variables)
         cdt = "int8"
     else:
-        embed = make_embed_fn(model, variables, compute_dtype=cdt)
+        embed = make_embed_fn(model, variables, compute_dtype=cdt,
+                              folded=cdt == "bfloat16")
 
     import copy
 
@@ -401,13 +406,23 @@ def bench_livereid(tracker: str, args) -> dict:
         # the CNN only for the budget
         N = max(N, 32)
     cadence = int(getattr(args, "emb_cadence", 0) or 0)
+    pri_frac = float(getattr(args, "emb_priority", 0.0) or 0.0)
+    if pri_frac:
+        # priority-budgeted embedding: the CNN batch is a fixed
+        # fraction of the det slots, filled by novelty/crowding/
+        # rotation score (parallel.streams.embedding_priority) — the
+        # deployed operating point for the cadence-sensitive trackers
+        # (accuracy cost measured in tests/accuracy_budget.json)
+        cadence = 0
+        budget = max(budget or 0, int(round(pri_frac * S * N)))
     a = copy.copy(args)
     a.max_tracks, a.max_dets, a.emb_dim = K, N, D
     init_fn, step_fn = build_tracker_fns(tracker, a)
     runner = MultiStreamRunner(init_fn, step_fn, n_streams=S,
                                embed_fn=embed,
                                crop_budget=budget or None,
-                               emb_cadence=cadence or None)
+                               emb_cadence=cadence or None,
+                               emb_priority=bool(pri_frac))
     rng = np.random.default_rng(0)
     dets, masks = synth_stream_dets(rng, T, S, N, n_obj=14)
     dets_j = jnp.asarray(dets)
@@ -450,7 +465,7 @@ def bench_livereid(tracker: str, args) -> dict:
         "metric": f"{tracker}_livereid"
         + ("" if variant == "x1_0" else f"_{variant}")
         + ("_int8" if cdt == "int8" else "")
-        + (f"_cb{budget}" if budget else "")
+        + (f"_pb{pri_frac}" if pri_frac else (f"_cb{budget}" if budget else ""))
         + (f"_ec{cadence}" if cadence > 1 else "")
         + "_streams_at_30fps_per_chip",
         "value": round(streams_at_30, 1),
@@ -519,6 +534,14 @@ def main():
         "BN-folded, per-channel int8 weights, static activation scales; "
         "parity pinned in tests). ~2x MXU rate + half the activation "
         "HBM traffic vs bfloat16",
+    )
+    ap.add_argument(
+        "--emb-priority", type=float, default=0.0,
+        help="live-ReID priority-budgeted embedding: embed only this "
+        "fraction of det slots per frame, chosen by novelty/crowding/"
+        "rotation score (parallel.streams.embedding_priority; accuracy "
+        "cost in tests/accuracy_budget.json). Replaces --emb-cadence. "
+        "0 = off",
     )
     ap.add_argument(
         "--emb-cadence", type=int, default=0,
@@ -688,10 +711,9 @@ def main():
                  "--emb-cadence", "1"],
                 "strongsort_livereid_bf16_everyframe",
             )
-            for trk, k in DEPLOYED_CADENCE.items():
+            for trk, dep in DEPLOYED.items():
                 emit_subprocess(
-                    ["--tracker", trk, "--livereid", "--reid-quant",
-                     "--emb-cadence", str(args.emb_cadence or k)],
+                    ["--tracker", trk, "--livereid"] + dep,
                     f"{trk}_livereid_deployed",
                 )
         emit(bench_one("bytetrack", args))

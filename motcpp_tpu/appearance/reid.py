@@ -236,7 +236,7 @@ class ReIDBackend:
 
 
 def make_embed_fn(model, variables, norm=(IMAGENET_MEAN, IMAGENET_STD),
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", folded: bool = False):
     """Build a PURE jit/vmap/scan-composable crop->embedding function.
 
     This is the in-graph half of the live-ReID serving path (the
@@ -257,6 +257,25 @@ def make_embed_fn(model, variables, norm=(IMAGENET_MEAN, IMAGENET_STD),
     cdt = _check_compute_dtype(compute_dtype)
     mean = jnp.asarray(norm[0], jnp.float32)
     std = jnp.asarray(norm[1], jnp.float32)
+    if folded:
+        # BN folded into conv kernel+bias (inference-only algebra,
+        # appearance/quant.py): one elementwise pass fewer per conv —
+        # measured +8% on TPU v5e (129.4 vs 139.6 ms at B=2048 bf16).
+        # f32-exact vs model.apply (pinned in tests/test_appearance.py)
+        from motcpp_tpu.appearance.quant import _forward_folded, fold_osnet
+
+        folded_tree = fold_osnet(jax.device_get(variables))
+        folded_tree = _cast_variables({"params": folded_tree},
+                                      compute_dtype)["params"]
+
+        def embed(crops):
+            x = crops.astype(jnp.float32)[..., ::-1] / 255.0  # BGR -> RGB
+            x = (x - mean) / std
+            feats = _forward_folded(folded_tree, x.astype(cdt))
+            return normalize_features(feats.astype(jnp.float32))
+
+        return embed
+
     variables = _cast_variables(variables, compute_dtype)
 
     def embed(crops):
@@ -268,7 +287,8 @@ def make_embed_fn(model, variables, norm=(IMAGENET_MEAN, IMAGENET_STD),
     return embed
 
 
-def embed_valid_crops(embed_fn, crops, dets, masks, budget=None):
+def embed_valid_crops(embed_fn, crops, dets, masks, budget=None,
+                      priority=None):
     """Run the ReID CNN over at most ``budget`` VALID crops per call.
 
     crops (S, N, Hc, Wc, 3) uint8, dets (S, N, >=5), masks (S, N) bool
@@ -289,6 +309,15 @@ def embed_valid_crops(embed_fn, crops, dets, masks, budget=None):
     term degrades to "no feature" for that frame. Deterministic: the
     compaction order is argsort over (validity, -confidence).
 
+    priority (S, N) float, optional: overrides the default
+    confidence-descending selection order — higher priority embeds
+    first. The serving priority-budget policy (parallel.streams
+    emb_priority) passes novelty/crowding/rotation scores here so the
+    budget goes to the detections whose appearance actually matters
+    (measured: StrongSORT at a 60% budget costs 0.6 HOTA with priority
+    vs 12.3 at 50% with plain confidence order — docs/benchmarking.md,
+    tests/accuracy_budget.json).
+
     budget=None or budget >= S*N is the plain full-batch path,
     bit-identical to historical behavior.
     """
@@ -300,9 +329,12 @@ def embed_valid_crops(embed_fn, crops, dets, masks, budget=None):
     if C < 1:
         raise ValueError(f"crop budget must be >= 1, got {budget}")
     mflat = masks.reshape(S * N)
-    conf = dets[..., 4].reshape(S * N).astype(jnp.float32)
-    # valid first, then by confidence descending; invalid sort to +inf
-    key = jnp.where(mflat, -conf, jnp.inf)
+    if priority is None:
+        pri = dets[..., 4].reshape(S * N).astype(jnp.float32)
+    else:
+        pri = jnp.asarray(priority, jnp.float32).reshape(S * N)
+    # valid first, then by priority descending; invalid sort to +inf
+    key = jnp.where(mflat, -pri, jnp.inf)
     idx = jnp.argsort(key)[:C]
     feats = embed_fn(jnp.take(flat, idx, axis=0))  # (C, D)
     keep = mflat[idx].astype(feats.dtype)[:, None]

@@ -65,11 +65,61 @@ def make_rollout_embs(step_fn: Callable):
     return rollout
 
 
+def embedding_priority(d, m, pd, pm, t, rot: int = 8):
+    """Embedding priority per det slot (S, N): which crops deserve the
+    CNN budget this frame.
+
+        2 * novelty + crowding + rotation (+ tie-break jitter)
+
+    novelty  = 1 - max IoU vs the PREVIOUS frame's valid dets of the
+               same stream — reappearances/births need fresh appearance
+               immediately (their gallery/EMA is empty or stale);
+    crowding = max IoU vs the frame's OTHER valid dets — ambiguous
+               overlaps are where appearance breaks motion ties;
+    rotation = 1 for dets whose spatial cell hashes onto this frame's
+               refresh slot ((cell + t) % rot == 0) — a staggered
+               freshness floor so stable isolated tracks still re-embed
+               every ~rot frames;
+    tie      = tiny frame-varying deterministic jitter so equal-priority
+               stable dets rotate through the budget instead of starving
+               whichever sorts last.
+
+    d (S, N, >=5) dets, m (S, N) valid, pd/pm the previous frame's.
+    Public so the ablation accuracy harness (scripts/ablation_benchmark
+    --emb-budget) scores EXACTLY the policy the serving rollout runs.
+    Measured on the 600-frame ablation scene (StrongSORT, the most
+    budget-sensitive tracker): a 60% budget under this priority costs
+    ~0.6 HOTA vs 12.3 for plain confidence order at 50% and 3.2 for
+    modulo cadence k=2 (tests/accuracy_budget.json).
+    """
+    from motcpp_tpu.ops.iou import iou_batch
+
+    iou_prev = jax.vmap(iou_batch)(d[..., :4], pd[..., :4])  # (S, N, N)
+    iou_prev = jnp.where(pm[:, None, :], iou_prev, 0.0)
+    novelty = 1.0 - jnp.max(iou_prev, axis=-1)
+    novelty = jnp.where(jnp.any(pm, axis=-1)[:, None], novelty, 1.0)
+    iou_self = jax.vmap(iou_batch)(d[..., :4], d[..., :4])
+    N = d.shape[1]
+    eye = jnp.eye(N, dtype=bool)
+    iou_self = jnp.where(m[:, None, :] & ~eye, iou_self, 0.0)
+    crowd = jnp.max(iou_self, axis=-1)
+    cell = (
+        jnp.round(d[..., 0] / 40.0) + jnp.round(d[..., 1] / 40.0)
+    ).astype(jnp.int32)
+    rotation = ((cell + t) % rot == 0).astype(jnp.float32)
+    tie = ((cell * 92837111 + t * 40499) % 1021).astype(
+        jnp.float32
+    ) * (0.01 / 1021.0)
+    return 2.0 * novelty + crowd + rotation + tie
+
+
 def make_rollout_general(step_fn: Callable, with_embs: bool = False,
                          with_warps: bool = False,
                          embed_fn: Callable | None = None,
                          crop_budget: int | None = None,
                          emb_cadence: int | None = None,
+                         emb_priority: bool = False,
+                         priority_rot: int = 8,
                          cmc_fn: Callable | None = None,
                          cmc_scale: float = 1.0):
     """Rollout with optional embedding (T, S, N, D), camera-warp
@@ -136,19 +186,35 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
         if int(emb_cadence) < 1:
             raise ValueError(f"emb_cadence must be >= 1, got {emb_cadence}")
     use_cadence = emb_cadence is not None and int(emb_cadence) > 1
+    if emb_priority:
+        if crop_budget is None:
+            raise ValueError(
+                "emb_priority needs crop_budget (it chooses WHICH crops "
+                "fill the budget)"
+            )
+        if use_cadence:
+            raise ValueError(
+                "emb_priority replaces emb_cadence (its rotation term "
+                "subsumes the cadence refresh); set one or the other"
+            )
     k_cad = int(emb_cadence) if emb_cadence is not None else 1
 
-    def _embed(e, d, m, t, stream_ids=None):
+    def _embed(e, d, m, t, stream_ids=None, prev=None):
         from motcpp_tpu.appearance.reid import embed_valid_crops
 
         budget = crop_budget
-        if use_cadence:
+        pri = None
+        if emb_priority:
+            pd, pm = prev
+            pri = embedding_priority(d, m, pd, pm, t, rot=priority_rot)
+        elif use_cadence:
             S, N = m.shape
             gate = ((t + stream_ids) % k_cad) == 0  # (S,)
             m = m & gate[:, None]
             auto = -(-S // k_cad) * N  # at most ceil(S/k) streams gated
             budget = min(budget, auto) if budget is not None else auto
-        return embed_valid_crops(embed_fn, e, d, m, budget=budget)
+        return embed_valid_crops(embed_fn, e, d, m, budget=budget,
+                                 priority=pri)
 
     def _live_warp(pv, hp, f):
         """Estimate (S, 2, 3) warps from the carried previous frames;
@@ -166,7 +232,17 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
     def rollout_cadence(states, frame0, stream_ids, *args):
         # stream_ids (S,) are GLOBAL indices (sharded alongside states)
         # so the gate — and therefore every emission — is bit-identical
-        # between single-device and sharded execution.
+        # between single-device and sharded execution. The priority
+        # mode shares this rollout: it additionally takes the previous
+        # frame's (dets (S, N, C), mask (S, N)) right after stream_ids
+        # (zero mask = no previous observations, everything novel) and
+        # returns them in the carry so serving ticks (T=1 per call)
+        # keep a continuous novelty baseline.
+        if emb_priority:
+            pdm = (args[0], args[1])
+            args = args[2:]
+        else:
+            pdm = None
         if use_cmc:
             prev0, has_prev0 = args[0], args[1]
             dets, masks, *extra = args[2:]
@@ -175,27 +251,31 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
 
         def body(carry, inp):
             if use_cmc:
-                st, t, pv, hp = carry
+                st, t, pdm, pv, hp = carry
             else:
-                st, t = carry
+                st, t, pdm = carry
             d, m, e, *rest = inp
-            e = _embed(e, d, m, t, stream_ids)
+            e = _embed(e, d, m, t, stream_ids, prev=pdm)
+            pdm2 = (d, m) if emb_priority else pdm
             if use_cmc:
                 f = rest[0]
                 st, out = vstep(st, d, m, e, _live_warp(pv, hp, f))
-                return (st, t + 1, f, jnp.bool_(True)), out
+                return (st, t + 1, pdm2, f, jnp.bool_(True)), out
             if with_warps:
                 st, out = vstep(st, d, m, e, rest[0])
             else:
                 st, out = vstep(st, d, m, e)
-            return (st, t + 1), out
+            return (st, t + 1, pdm2), out
 
-        carry0 = (states, jnp.asarray(frame0, jnp.int32))
+        carry0 = (states, jnp.asarray(frame0, jnp.int32), pdm)
         if use_cmc:
             carry0 = carry0 + (prev0, jnp.asarray(has_prev0, bool))
         carry, outs = lax.scan(body, carry0, (dets, masks) + tuple(extra))
+        tail = (carry[2],) if emb_priority else ()
         if use_cmc:
-            return (carry[0], carry[2], carry[3]), outs
+            return (carry[0],) + tail + (carry[3], carry[4]), outs
+        if emb_priority:
+            return (carry[0],) + tail, outs
         return carry[0], outs
 
     def rollout(states, *args):
@@ -239,7 +319,7 @@ def make_rollout_general(step_fn: Callable, with_embs: bool = False,
             carry0 = (states, prev0, jnp.asarray(has_prev0, bool))
         return lax.scan(body, carry0, (dets, masks) + tuple(extra))
 
-    return rollout_cadence if use_cadence else rollout
+    return rollout_cadence if (use_cadence or emb_priority) else rollout
 
 
 class MultiStreamRunner:
@@ -267,6 +347,8 @@ class MultiStreamRunner:
         embed_fn: Callable | None = None,
         crop_budget: int | None = None,
         emb_cadence: int | None = None,
+        emb_priority: bool = False,
+        priority_rot: int = 8,
         cmc_fn: Callable | None = None,
         cmc_scale: float = 1.0,
     ):
@@ -288,6 +370,18 @@ class MultiStreamRunner:
         drops ~k x while track features ride each tracker's EMA/gallery.
         The frame phase is carried on the runner across run() calls and
         reset by reset(); k=1 is bit-identical to no cadence.
+
+        emb_priority=True (requires crop_budget): choose WHICH crops
+        fill the per-frame CNN budget by tracking value instead of raw
+        confidence — 2*novelty (low IoU vs the previous frame's dets:
+        births/reappearances) + crowding (high IoU vs this frame's
+        other dets: ambiguous overlaps) + a staggered rotation floor
+        (every det re-embeds at least every priority_rot frames).
+        The previous-frame dets ride the runner carry across run()
+        calls (reset by reset()), so T=1 serving ticks keep a
+        continuous novelty baseline. Measured accuracy cost for
+        StrongSORT at a 60% budget: 0.63 HOTA (vs 3.2 for cadence k=2
+        at a 50% CNN load; tests/accuracy_budget.json).
 
         cmc_fn (motion.cmc.ecc_jax_batch / sof_jax_batch): switch the
         warp leg to LIVE CMC — run() then takes grayscale frames
@@ -329,12 +423,18 @@ class MultiStreamRunner:
         self._use_cadence = self.emb_cadence > 1
         if self._use_cadence and embed_fn is None:
             raise ValueError("emb_cadence requires embed_fn (live ReID)")
+        self.emb_priority = bool(emb_priority)
+        # cadence and priority share the rollout calling convention
+        # (frame0 + stream_ids [+ prev dets] before the time-major args)
+        self._use_adv = self._use_cadence or self.emb_priority
         self._frame0 = 0
         self._prev_frames = None  # live-CMC carry across run() calls
+        self._prev_dets = None  # priority-mode carry across run() calls
         rollout = make_rollout_general(
             step_fn, with_embs=self.with_embs, with_warps=self.with_warps,
             embed_fn=embed_fn, crop_budget=shard_budget,
-            emb_cadence=emb_cadence, cmc_fn=cmc_fn, cmc_scale=cmc_scale,
+            emb_cadence=emb_cadence, emb_priority=self.emb_priority,
+            priority_rot=priority_rot, cmc_fn=cmc_fn, cmc_scale=cmc_scale,
         )
 
         if n_dev > 1:
@@ -345,16 +445,24 @@ class MultiStreamRunner:
             n_in = 2 + int(self.with_embs) + int(self.with_warps) \
                 + int(self.with_cmc)
             in_specs = (spec_state,)
-            if self._use_cadence:
+            if self._use_adv:
                 # frame0 replicated, global stream_ids sharded like states
                 in_specs = in_specs + (P(), P("streams"))
+            if self.emb_priority:
+                # previous-frame dets + mask sharded like states
+                in_specs = in_specs + (P("streams"), P("streams"))
             if self.with_cmc:
                 # prev frames sharded like states, has_prev replicated
                 in_specs = in_specs + (P("streams"), P())
             in_specs = in_specs + (spec_t,) * n_in
             out_state = spec_state
+            tail = ()
+            if self.emb_priority:
+                tail = ((P("streams"), P("streams")),)
             if self.with_cmc:
-                out_state = (spec_state, P("streams"), P())
+                out_state = (spec_state,) + tail + (P("streams"), P())
+            elif self.emb_priority:
+                out_state = (spec_state,) + tail
             rollout = shard_map(
                 rollout,
                 mesh=self.mesh,
@@ -439,7 +547,7 @@ class MultiStreamRunner:
                     NamedSharding(self.mesh, P("streams")),
                 )
             args = (prev, jnp.bool_(has_prev)) + args
-        if self._use_cadence:
+        if self._use_adv:
             ids = jnp.arange(self.n_streams, dtype=jnp.int32)
             if len(self.devices) > 1:
                 ids = jax.device_put(
@@ -452,14 +560,32 @@ class MultiStreamRunner:
             else:
                 f0 = self._frame0
                 self._frame0 += int(np.shape(dets)[0])  # advance by T
-            args = (jnp.int32(f0), ids) + args
+            pri_args = ()
+            if self.emb_priority:
+                pdm = None if stateless else self._prev_dets
+                if pdm is None:
+                    # no previous observations: everything is novel
+                    pdm = (
+                        jnp.zeros(np.shape(dets)[1:], jnp.float32),
+                        jnp.zeros(np.shape(masks)[1:], bool),
+                    )
+                if len(self.devices) > 1:
+                    sh = NamedSharding(self.mesh, P("streams"))
+                    pdm = tuple(jax.device_put(a, sh) for a in pdm)
+                pri_args = pdm
+            args = (jnp.int32(f0), ids) + tuple(pri_args) + args
         elif frame0 is not None:
             raise ValueError("frame0 only applies with emb_cadence set")
         carry, outs = self._rollout(states, *args)
         if stateless:
             # don't clobber the streaming carry with the pure call's
             return outs
-        if self.with_cmc:
+        if self.emb_priority:
+            if self.with_cmc:
+                self._states, self._prev_dets, self._prev_frames, _ = carry
+            else:
+                self._states, self._prev_dets = carry
+        elif self.with_cmc:
             self._states, self._prev_frames, _ = carry
         else:
             self._states = carry
@@ -491,3 +617,4 @@ class MultiStreamRunner:
         self._states = None
         self._frame0 = 0
         self._prev_frames = None
+        self._prev_dets = None

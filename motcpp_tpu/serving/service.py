@@ -100,6 +100,8 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
                       embed_fn: Callable | None = None,
                       crop_budget: int | None = None,
                       emb_cadence: int | None = None,
+                      emb_priority: bool = False,
+                      priority_rot: int = 8,
                       compact_crops: bool = False):
     """Build the present/reset-gated batched step.
 
@@ -140,6 +142,14 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
     use_cadence = emb_cadence is not None and int(emb_cadence) > 1
     if use_cadence and embed_fn is None:
         raise ValueError("emb_cadence requires live ReID (embed_fn)")
+    if emb_priority:
+        if crop_budget is None or embed_fn is None:
+            raise ValueError("emb_priority requires live ReID with a "
+                             "crop_budget (it chooses WHICH crops fill "
+                             "the budget)")
+        if use_cadence:
+            raise ValueError("emb_priority replaces emb_cadence; set one")
+    use_adv = use_cadence or emb_priority
     k_cad = int(emb_cadence) if emb_cadence else 1
 
     def _sel(mask, a, b):
@@ -147,9 +157,13 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
         return jnp.where(m, a, b)
 
     def svc(states, dets, masks, present, reset, *extra):
-        if use_cadence:
+        if use_adv:
             tick, stream_ids, *extra = extra
             extra = tuple(extra)
+        prev_dm = None
+        if emb_priority:
+            prev_dm = (extra[0], extra[1])
+            extra = tuple(extra[2:])
         S = dets.shape[0]
         fresh = jax.vmap(lambda _: init_fn())(jnp.arange(S))
         states = jax.tree_util.tree_map(
@@ -179,7 +193,14 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
             from motcpp_tpu.appearance.reid import embed_valid_crops
 
             emb_masks, budget = masks, crop_budget
+            pri = None
             crops_in = extra[0]
+            if emb_priority:
+                from motcpp_tpu.parallel.streams import embedding_priority
+
+                pri = embedding_priority(dets, emb_masks, prev_dm[0],
+                                         prev_dm[1], tick,
+                                         rot=priority_rot)
             if use_cadence:
                 gate = ((tick + stream_ids) % k_cad) == 0  # (S,)
                 emb_masks = masks & gate[:, None]
@@ -198,7 +219,7 @@ def make_service_step(init_fn: Callable[[], Any], step_fn: Callable,
                         (S,) + crops_in.shape[1:], crops_in.dtype
                     ).at[idx].set(crops_in)
             e = embed_valid_crops(embed_fn, crops_in, dets, emb_masks,
-                                  budget=budget)
+                                  budget=budget, priority=pri)
             extra = (e,) + tuple(extra[1:])
         if with_embs and with_warps:
             new_states, (outs, out_masks) = vstep(
@@ -257,6 +278,8 @@ class TrackingService:
                  embed_fn: Callable | None = None,
                  crop_budget: int | None = None,
                  emb_cadence: int | None = None,
+                 emb_priority: bool = False,
+                 priority_rot: int = 8,
                  cadence_compact: bool | None = None):
         """crop_hw + embed_fn switch the service to LIVE ReID: producers
         submit raw (n, Hc, Wc, 3) uint8 detection crops instead of
@@ -274,6 +297,15 @@ class TrackingService:
         (staggered per slot; see make_service_step) — divides the
         per-tick CNN cost ~k x, the real-time live-ReID lever
         (docs/deployment.md SLO table).
+
+        emb_priority=True (requires crop_budget): fill the per-tick CNN
+        budget by tracking value — novelty vs the previous tick's dets,
+        crowding, and a staggered rotation floor (parallel.streams.
+        embedding_priority; accuracy cost measured in
+        tests/accuracy_budget.json). The previous tick's dets/masks are
+        held by the service and fed back each tick. Replaces
+        emb_cadence for the cadence-sensitive trackers (StrongSORT /
+        HybridSORT deploy priority-0.6; see bench.py DEPLOYED points).
 
         cadence_compact: ship only the scheduled slots' crops to the
         device each tick (k x fewer H2D bytes, bit-identical output).
@@ -321,6 +353,14 @@ class TrackingService:
         if self._use_cadence and embed_fn is None:
             raise ValueError("emb_cadence requires live ReID "
                              "(crop_hw + embed_fn)")
+        self.emb_priority = bool(emb_priority)
+        if self.emb_priority and (crop_budget is None or embed_fn is None):
+            raise ValueError("emb_priority requires live ReID with a "
+                             "crop_budget")
+        if self.emb_priority and self._use_cadence:
+            raise ValueError("emb_priority replaces emb_cadence; set one")
+        self._use_adv = self._use_cadence or self.emb_priority
+        self._prev_dm = None  # previous tick's (dets, masks) for priority
         # compacted crop transfer: with cadence k, only the ~S/k
         # scheduled slots' crops cross the wire each tick (k x fewer
         # H2D bytes, bit-identical embeddings). Needs the per-shard
@@ -344,6 +384,7 @@ class TrackingService:
             init_fn, step_fn, with_embs=emb_dim > 0,
             with_warps=self.with_warps, embed_fn=embed_fn,
             crop_budget=shard_budget, emb_cadence=emb_cadence,
+            emb_priority=self.emb_priority, priority_rot=priority_rot,
             compact_crops=self._cad_compact,
         )
 
@@ -354,9 +395,12 @@ class TrackingService:
             sp = P("streams")
             n_in = 4 + int(emb_dim > 0) + int(self.with_warps)
             in_specs = (sp,) * 5
-            if self._use_cadence:
+            if self._use_adv:
                 # tick replicated, global slot ids sharded like states
                 in_specs = in_specs + (P(), sp)
+            if self.emb_priority:
+                # previous tick's dets + masks sharded like states
+                in_specs = in_specs + (sp, sp)
             in_specs = in_specs + (sp,) * (n_in - 4)
             svc = shard_map(
                 svc,
@@ -482,11 +526,19 @@ class TrackingService:
             jnp.asarray(present), jnp.asarray(reset),
         ]
         cadence_args = []
-        if self._use_cadence:
+        if self._use_adv:
             cadence_args = [
                 jnp.int32(self._ticks),
                 jnp.arange(self.n_streams, dtype=jnp.int32),
             ]
+        if self.emb_priority:
+            pdm = self._prev_dm
+            if pdm is None:
+                pdm = (
+                    jnp.zeros_like(jnp.asarray(dets)),
+                    jnp.zeros_like(jnp.asarray(mask)),
+                )
+            cadence_args += list(pdm)
         if self._embed_fn is not None:
             if self._cad_compact:
                 # ship only the slots scheduled to embed this tick
@@ -505,10 +557,22 @@ class TrackingService:
             sh = NamedSharding(self.mesh, P("streams"))
             args = [jax.device_put(a, sh) for a in args]
             if cadence_args:
-                cadence_args[1] = jax.device_put(cadence_args[1], sh)
-        # cadence args go between reset and the embs/crops/warps legs
+                # slot ids + (priority mode) prev dets/masks all shard
+                # like states; the tick scalar stays replicated
+                cadence_args[1:] = [
+                    jax.device_put(a, sh) for a in cadence_args[1:]
+                ]
+        # cadence/priority args go between reset and the embs/crops/
+        # warps legs
         args = args[:4] + cadence_args + args[4:]
         self._states, (outs, out_masks) = self._svc(self._states, *args)
+        if self.emb_priority:
+            d_j, m_j = jnp.asarray(dets), jnp.asarray(mask)
+            if self.mesh is not None:
+                sh = NamedSharding(self.mesh, P("streams"))
+                d_j = jax.device_put(d_j, sh)
+                m_j = jax.device_put(m_j, sh)
+            self._prev_dm = (d_j, m_j)
         self._ticks += 1
         return PendingBatch(
             present=np.asarray(present),

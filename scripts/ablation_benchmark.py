@@ -64,7 +64,8 @@ SCOREBOARD = {
 
 
 def run_scoreboard(n_frames=600, trackers=None, progress=print,
-                   pan_amp=None, use_warps=True, emb_cadence=1):
+                   pan_amp=None, use_warps=True, emb_cadence=1,
+                   emb_budget=0.0, budget_policy="priority"):
     """Run every scoreboard row; returns {name: metrics-dict}.
 
     pan_amp/use_warps: the replica comparison (scripts/ref_replica/)
@@ -77,7 +78,14 @@ def run_scoreboard(n_frames=600, trackers=None, progress=print,
     frames carry zero-norm det features, which every tracker treats as
     "no appearance info" (association falls back to motion/IoU while
     per-track EMA/gallery features persist). k=1 is the plain
-    scoreboard."""
+    scoreboard.
+
+    emb_budget=f in (0, 1): keep only ceil(f * n) detections' embeddings
+    per frame, selected by ``budget_policy``: "priority" scores with the
+    SAME parallel.streams.embedding_priority the serving rollout runs
+    (novelty + crowding + rotation), "conf" is the plain
+    confidence-descending order — the accuracy-cost probe for the
+    priority-budgeted live-ReID CNN (crop_budget + emb_priority)."""
     import motcpp_tpu
     from motcpp_tpu.data.synthetic import ablation_scene
     from motcpp_tpu.metrics import (
@@ -105,10 +113,43 @@ def run_scoreboard(n_frames=600, trackers=None, progress=print,
         )
         pred = {}
         t0 = time.time()
+        prev_d = None
         for t in range(1, n_frames + 1):
             e = embs[t] if spec["embs"] else None
             if e is not None and emb_cadence > 1 and t % emb_cadence != 0:
                 e = np.zeros_like(e)
+            d_now = np.asarray(dets[t], np.float32).reshape(-1, 6)
+            if e is not None and 0.0 < emb_budget < 1.0 and len(d_now):
+                import jax.numpy as jnp
+
+                from motcpp_tpu.parallel.streams import embedding_priority
+
+                n = d_now.shape[0]
+                C = max(1, int(np.ceil(emb_budget * n)))
+                if budget_policy == "priority":
+                    pd = (prev_d if prev_d is not None
+                          else np.zeros((0, 6), np.float32))
+                    # pad prev to n rows for the fixed-shape fn
+                    pN = max(n, len(pd), 1)
+                    dpad = np.zeros((1, pN, 6), np.float32)
+                    dpad[0, :n] = d_now
+                    mpad = np.zeros((1, pN), bool)
+                    mpad[0, :n] = True
+                    ppad = np.zeros((1, pN, 6), np.float32)
+                    ppad[0, :len(pd)] = pd
+                    pmask = np.zeros((1, pN), bool)
+                    pmask[0, :len(pd)] = True
+                    pri = np.asarray(embedding_priority(
+                        jnp.asarray(dpad), jnp.asarray(mpad),
+                        jnp.asarray(ppad), jnp.asarray(pmask),
+                        jnp.int32(t)))[0, :n]
+                else:
+                    pri = d_now[:, 4]
+                keep = np.argsort(-pri)[:C]
+                sel = np.zeros(n, bool)
+                sel[keep] = True
+                e = np.where(sel[:, None], e, 0.0)
+            prev_d = d_now
             out = tr.update(dets[t], img, e, warp=warps[t])
             if out.shape[0]:
                 pred[t] = (
@@ -153,6 +194,14 @@ def main(argv=None):
                     help="zero det embeddings except every k-th frame "
                     "(accuracy-cost probe for the live-ReID serving "
                     "cadence; 1 = plain scoreboard)")
+    ap.add_argument("--emb-budget", type=float, default=0.0,
+                    help="keep only this fraction of detections' "
+                    "embeddings per frame (accuracy-cost probe for the "
+                    "priority-budgeted live-ReID CNN; 0 = off)")
+    ap.add_argument("--budget-policy", default="priority",
+                    choices=["priority", "conf"],
+                    help="which dets fill the --emb-budget: the serving "
+                    "embedding_priority score or plain confidence order")
     args = ap.parse_args(argv)
 
     if not args.tpu:
@@ -160,12 +209,15 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    if args.write and args.emb_cadence > 1:
+    if args.write and (args.emb_cadence > 1 or args.emb_budget):
         raise SystemExit("--write pins the PLAIN scoreboard; drop "
-                         "--emb-cadence (cadence numbers go in "
-                         "docs/benchmarking.md)")
+                         "--emb-cadence/--emb-budget (those numbers go "
+                         "in tests/accuracy_cadence.json / "
+                         "tests/accuracy_budget.json)")
     results = run_scoreboard(args.frames, args.trackers,
-                             emb_cadence=args.emb_cadence)
+                             emb_cadence=args.emb_cadence,
+                             emb_budget=args.emb_budget,
+                             budget_policy=args.budget_policy)
     if args.write:
         out = Path(__file__).resolve().parent.parent / "tests" / "accuracy_ablation.json"
         out.write_text(json.dumps(results, indent=1) + "\n")

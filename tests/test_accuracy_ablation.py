@@ -218,28 +218,47 @@ def test_strongsort_beats_reference_binary():
     assert got["HOTA"] > ref["HOTA"] + 5
 
 
-def test_deployed_cadence_accuracy_cost():
-    """bench.py's DEPLOYED_CADENCE must be the largest measured cadence
-    whose HOTA cost vs every-frame embedding is <=1.0 on the committed
-    600-frame measurements (tests/accuracy_cadence.json). Pins the
-    serving operating points documented in docs/benchmarking.md: if a
-    cadence remeasurement moves the cost, this fails until the deployed
-    table and docs are updated together."""
+def test_deployed_operating_points_accuracy_cost():
+    """bench.py's DEPLOYED live-ReID operating points must each have a
+    measured HOTA cost <=1.0 vs every-frame embedding on the committed
+    600-frame artifacts (tests/accuracy_cadence.json for cadence
+    points, tests/accuracy_budget.json for priority-budget points).
+    Pins the serving operating points documented in
+    docs/benchmarking.md: if a remeasurement moves a cost, this fails
+    until the deployed table and docs are updated together. Also pins
+    WHY the priority policy exists: at the same 50% CNN load, plain
+    confidence-ordered budgeting costs StrongSORT >10 HOTA where the
+    priority policy costs ~1.4."""
     import sys
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    from bench import DEPLOYED_CADENCE
+    from bench import DEPLOYED
 
-    table = json.loads(
+    cad = json.loads(
         (Path(__file__).resolve().parent / "accuracy_cadence.json")
         .read_text()
     )
-    for trk, k in DEPLOYED_CADENCE.items():
-        rows = table[trk]
-        base = rows["1"]["HOTA"]
-        assert base - rows[str(k)]["HOTA"] <= 1.0, (trk, k)
-        # largest: every measured cadence above k must cost > 1.0
-        larger = [int(c) for c in rows if int(c) > k]
-        if larger:
-            nxt = str(min(larger))
-            assert base - rows[nxt]["HOTA"] > 1.0, (trk, nxt)
+    bud = json.loads(
+        (Path(__file__).resolve().parent / "accuracy_budget.json")
+        .read_text()
+    )
+    for trk, dep in DEPLOYED.items():
+        base = cad[trk]["1"]["HOTA"]
+        mode, val = dep[0], dep[1]
+        if mode == "--emb-cadence":
+            got = cad[trk][val]["HOTA"]
+        else:
+            assert mode == "--emb-priority", dep
+            got = bud[trk][f"priority_{val}"]["HOTA"]
+        assert base - got <= 1.0, (trk, dep, base, got)
+        # cadence points stay the LARGEST k within the policy line
+        if mode == "--emb-cadence":
+            k = int(val)
+            larger = [int(c) for c in cad[trk] if int(c) > k]
+            if larger:
+                nxt = str(min(larger))
+                assert base - cad[trk][nxt]["HOTA"] > 1.0, (trk, nxt)
+    # the contrast row that justifies priority over confidence order
+    base_ss = cad["strongsort"]["1"]["HOTA"]
+    assert base_ss - bud["strongsort"]["conf_0.5"]["HOTA"] > 10.0
+    assert base_ss - bud["strongsort"]["priority_0.5"]["HOTA"] < 2.0

@@ -712,3 +712,130 @@ def test_dryrun_multihost_two_processes():
         pytest.skip(f"distributed runtime unavailable: {out[-200:]}")
     assert proc.returncode == 0, out[-2000:]
     assert "dryrun_multihost OK" in out
+
+
+def _stub_embed(D=8):
+    def embed_fn(crops):
+        v = jnp.mean(crops.astype(jnp.float32), axis=(1, 2, 3))
+        return jnp.zeros((crops.shape[0], D), jnp.float32).at[:, 0].set(
+            v + 1.0
+        )
+
+    return embed_fn
+
+
+def test_priority_budget_embeds_novel_and_crowded_first():
+    """emb_priority: the per-frame CNN budget goes to births/
+    reappearances (novelty) and ambiguous overlaps (crowding) before
+    stable isolated dets — and never exceeds the budget or touches
+    invalid slots (parallel.streams.embedding_priority)."""
+    from motcpp_tpu.parallel.streams import make_rollout_general
+
+    S, N, T = 2, 4, 5
+    rollout = make_rollout_general(
+        lambda st, d, m, e: (st, (e, m)),  # echo embeddings
+        with_embs=True, embed_fn=_stub_embed(), crop_budget=3,
+        emb_priority=True, priority_rot=4,
+    )
+    rng = np.random.default_rng(0)
+    dets = np.zeros((T, S, N, 6), np.float32)
+    dets[:, 0, 0, :4] = [10, 10, 50, 90]
+    dets[:, 0, 1, :4] = [200, 10, 240, 90]
+    dets[2:, 0, 2, :4] = [400, 300, 460, 420]  # appears at t=2
+    dets[:, 1, 0, :4] = [600, 500, 660, 640]
+    dets[..., 4] = 0.9
+    masks = np.zeros((T, S, N), bool)
+    masks[:, 0, :2] = True
+    masks[2:, 0, 2] = True
+    masks[:, 1, 0] = True
+    crops = rng.integers(0, 255, (T, S, N, 4, 4, 3)).astype(np.uint8)
+    pdm0 = (jnp.zeros((S, N, 6), jnp.float32), jnp.zeros((S, N), bool))
+    carry, (outs, _) = rollout(
+        jnp.zeros((S,), jnp.float32), jnp.int32(0),
+        jnp.arange(S, dtype=jnp.int32), *pdm0,
+        jnp.asarray(dets), jnp.asarray(masks), jnp.asarray(crops),
+    )
+    emb_on = np.asarray(outs)[..., 0] != 0
+    assert emb_on.sum(axis=(1, 2)).max() <= 3  # budget respected
+    assert not (emb_on & ~masks).any()  # invalid slots never embedded
+    assert emb_on[2, 0, 2], "novel det must win the budget on arrival"
+    # carry returns (states, (prev_dets, prev_mask)) for streaming use
+    _, (pd, pm) = carry
+    np.testing.assert_array_equal(np.asarray(pm), masks[-1])
+
+
+def test_priority_budget_rotation_prevents_starvation():
+    """Stable equal-priority dets must ROTATE through the budget (the
+    rotation + tie-break terms), not permanently starve whichever
+    sorts last."""
+    from motcpp_tpu.parallel.streams import make_rollout_general
+
+    S, N, T = 1, 4, 24
+    rollout = make_rollout_general(
+        lambda st, d, m, e: (st, (e, m)),
+        with_embs=True, embed_fn=_stub_embed(), crop_budget=2,
+        emb_priority=True, priority_rot=4,
+    )
+    rng = np.random.default_rng(1)
+    dets = np.zeros((T, S, N, 6), np.float32)
+    for j in range(N):  # four stable, well-separated objects
+        dets[:, 0, j, :4] = [300 * j + 17, 100 + 37 * j,
+                             300 * j + 80, 260 + 37 * j]
+    dets[..., 4] = 0.9
+    masks = np.ones((T, S, N), bool)
+    crops = rng.integers(0, 255, (T, S, N, 4, 4, 3)).astype(np.uint8)
+    pdm0 = (jnp.zeros((S, N, 6), jnp.float32), jnp.zeros((S, N), bool))
+    _, (outs, _) = rollout(
+        jnp.zeros((S,), jnp.float32), jnp.int32(0),
+        jnp.arange(S, dtype=jnp.int32), *pdm0,
+        jnp.asarray(dets), jnp.asarray(masks), jnp.asarray(crops),
+    )
+    emb_on = np.asarray(outs)[..., 0] != 0
+    per_slot = emb_on[:, 0, :].sum(axis=0)
+    assert (per_slot > 0).all(), f"starved slots: {per_slot}"
+
+
+def test_runner_priority_budget_shards_and_matches_uncapped():
+    """emb_priority through MultiStreamRunner: with budget >= all valid
+    crops the output equals the plain live-ReID path bit-exactly, on one
+    device AND sharded over the CPU mesh; the prev-dets carry persists
+    across run() calls (T=1 serving ticks keep a novelty baseline)."""
+    from motcpp_tpu.models.strongsort import StrongSortConfig, make_strongsort
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh (tests/conftest.py)")
+    D = 8
+    S, N, T = 8, 4, 3
+    init_fn, step_fn = make_strongsort(StrongSortConfig(
+        n_init=1, max_tracks=8, max_dets=N, emb_dim=D, gallery_cap=4))
+    rng = np.random.default_rng(0)
+    dets = np.zeros((T, S, N, 6), np.float32)
+    dets[:, :, 0, :4] = [10, 10, 50, 90]
+    dets[:, :, 1, :4] = [200, 10, 240, 90]
+    dets[..., 4] = 0.9
+    masks = np.zeros((T, S, N), bool)
+    masks[:, :, :2] = True
+    crops = rng.integers(0, 255, (T, S, N, 4, 4, 3)).astype(np.uint8)
+
+    def mk(devs, **kw):
+        return MultiStreamRunner(init_fn, step_fn, n_streams=S,
+                                 devices=devs, embed_fn=_stub_embed(D), **kw)
+
+    r_plain = mk(jax.devices()[:1])
+    r_pri1 = mk(jax.devices()[:1], crop_budget=S * N, emb_priority=True)
+    r_pri8 = mk(jax.devices()[:8], crop_budget=S * N, emb_priority=True)
+    a = r_plain.run(jnp.asarray(dets), jnp.asarray(masks),
+                    embs=jnp.asarray(crops))
+    b = r_pri1.run(jnp.asarray(dets), jnp.asarray(masks),
+                   embs=jnp.asarray(crops))
+    c = r_pri8.run(jnp.asarray(dets), jnp.asarray(masks),
+                   embs=jnp.asarray(crops))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(c[0]))
+    # streaming: second run must carry prev dets (not reset to novel)
+    b2 = r_pri1.run(jnp.asarray(dets), jnp.asarray(masks),
+                    embs=jnp.asarray(crops))
+    a2 = r_plain.run(jnp.asarray(dets), jnp.asarray(masks),
+                     embs=jnp.asarray(crops))
+    np.testing.assert_array_equal(np.asarray(a2[0]), np.asarray(b2[0]))
+    assert r_pri1._prev_dets is not None

@@ -963,3 +963,69 @@ def test_cadence_compact_transfer_bit_exact(n_dev):
             devices=jax.devices()[:1], crop_hw=hw, embed_fn=embed,
             emb_cadence=2, cadence_compact=True,
         )
+
+
+@pytest.mark.parametrize("n_dev", [1, 2])
+def test_service_priority_budget_matches_uncapped(n_dev):
+    """emb_priority at the serving boundary: with a budget covering
+    every valid crop the priority service emits bit-for-bit what the
+    plain live-ReID service emits (the priority score only ORDERS the
+    selection), single and sharded; and the service carries the
+    previous tick's dets so the novelty baseline is continuous."""
+    import jax
+
+    hw, dim = (32, 16), 16
+    embed, _ = _embed_pair(hw, dim)
+    rng = np.random.default_rng(13)
+    S, N = 2 * max(n_dev, 1), 8
+    frames = []
+    for t in range(6):
+        dets = _frame(rng, 3)
+        crops = rng.integers(0, 255, (3,) + hw + (3,)).astype(np.uint8)
+        frames.append((dets, crops))
+
+    def mk(devs, **kw):
+        from motcpp_tpu.models.botsort import BotSortConfig, make_botsort
+
+        cfg = BotSortConfig(max_tracks=16, max_dets=N, emb_dim=dim,
+                            with_reid=True)
+        init_fn, step_fn = make_botsort(cfg)
+        return TrackingService(
+            init_fn, step_fn, n_streams=S, max_dets=N, emb_dim=dim,
+            devices=jax.devices()[:devs], crop_hw=hw, embed_fn=embed, **kw
+        )
+
+    plain = mk(1)
+    pri = mk(n_dev, crop_budget=S * N, emb_priority=True)
+    hp = plain.attach()
+    hq = pri.attach()
+    for dets, crops in frames:
+        plain.submit(hp, dets, crops=crops)
+        pri.submit(hq, dets, crops=crops)
+        rp = plain.step().tracks_for(hp)
+        rq = pri.step().tracks_for(hq)
+        np.testing.assert_array_equal(rp, rq)
+    assert rp.shape[0] > 0
+    assert pri._prev_dm is not None  # novelty baseline carried
+
+
+def test_service_priority_budget_validation():
+    from motcpp_tpu.models.botsort import BotSortConfig, make_botsort
+
+    hw, dim = (32, 16), 16
+    embed, _ = _embed_pair(hw, dim)
+    cfg = BotSortConfig(max_tracks=16, max_dets=8, emb_dim=dim,
+                        with_reid=True)
+    init_fn, step_fn = make_botsort(cfg)
+    import jax
+
+    dev1 = jax.devices()[:1]
+    with pytest.raises(ValueError, match="crop_budget"):
+        TrackingService(init_fn, step_fn, n_streams=2, max_dets=8,
+                        emb_dim=dim, crop_hw=hw, embed_fn=embed,
+                        devices=dev1, emb_priority=True)
+    with pytest.raises(ValueError, match="replaces"):
+        TrackingService(init_fn, step_fn, n_streams=2, max_dets=8,
+                        emb_dim=dim, crop_hw=hw, embed_fn=embed,
+                        devices=dev1, crop_budget=16, emb_cadence=4,
+                        emb_priority=True)
