@@ -721,7 +721,12 @@ def main():
         if rows and not args.tracker:
             from pathlib import Path
 
-            out = Path(__file__).resolve().parent / "BENCH_FULL.json"
+            # --quick/--cpu scoreboards are smoke runs: keep them out of
+            # the driver-grade artifact (a CPU --quick run once clobbered
+            # the committed TPU scoreboard, ADVICE r4)
+            name = ("BENCH_QUICK.json" if (args.quick or args.cpu)
+                    else "BENCH_FULL.json")
+            out = Path(__file__).resolve().parent / name
             out.write_text(
                 json.dumps({"rows": rows, "argv": sys.argv[1:]}, indent=1)
                 + "\n"

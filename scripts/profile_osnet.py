@@ -53,6 +53,15 @@ def main():
     ap.add_argument("--dw-impl", default="conv", choices=["conv", "shift"],
                     help="depthwise schedule: XLA grouped conv vs "
                     "unrolled shift-FMA stencil (DepthwiseShift3x3)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="speed-of-light adjudication: pull flops + "
+                    "bytes-accessed from the compiled XLA cost model "
+                    "and compare the measured time against the compute "
+                    "and HBM-bandwidth rooflines")
+    ap.add_argument("--peak-tflops", type=float, default=197.0,
+                    help="device peak bf16 TFLOP/s (v5e default)")
+    ap.add_argument("--peak-gbps", type=float, default=819.0,
+                    help="device peak HBM GB/s (v5e default)")
     args = ap.parse_args()
 
     from motcpp_tpu.appearance.osnet import (
@@ -90,6 +99,33 @@ def main():
     full_ms = timeit(f_full, vs, x_full, repeats=args.repeats)
     print(f"full osnet_x1_0 [{args.dw_impl}] {args.dtype} B={B} {H}x{W}: "
           f"{full_ms:.2f} ms  ({B / full_ms * 1000:,.0f} crops/s)")
+
+    if args.roofline:
+        # Speed-of-light adjudication (VERDICT r4 #3): the compiled
+        # program's own cost model says how many FLOPs it executes and
+        # how many HBM bytes it touches. SoL time = max(flops/peak,
+        # bytes/bw); measured/SoL is the fraction of the roofline this
+        # forward achieves. A depthwise-heavy net like OSNet is
+        # *designed* to be FLOP-light, so the binding roofline is
+        # expected to be bandwidth (or, below that, the VPU-bound
+        # depthwise stencils that neither roofline models).
+        ca = (jax.jit(lambda v, a: model.apply(v, a, train=False))
+              .lower(vs, x_full).compile().cost_analysis())
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        t_flops = flops / (args.peak_tflops * 1e12) * 1e3   # ms
+        t_bytes = byts / (args.peak_gbps * 1e9) * 1e3       # ms
+        sol = max(t_flops, t_bytes)
+        bound = "compute" if t_flops > t_bytes else "bandwidth"
+        print(f"roofline: {flops / B / 1e9:.3f} GFLOP/crop, "
+              f"{byts / B / 1e6:.2f} MB HBM/crop (XLA cost model)")
+        print(f"  compute SoL {t_flops:.2f} ms | bandwidth SoL "
+              f"{t_bytes:.2f} ms -> binding roofline: {bound}")
+        print(f"  measured {full_ms:.2f} ms = {sol / full_ms * 100:.0f}% "
+              f"of {bound} speed-of-light "
+              f"({args.peak_tflops:g} TFLOP/s, {args.peak_gbps:g} GB/s)")
 
     # pieces (shapes for 256x128 input)
     h2, w2 = H // 4, W // 4      # after conv1 s2 + maxpool s2: 64x32

@@ -86,6 +86,12 @@ def main():
                     "(appearance/quant.py)")
     ap.add_argument("--crop-budget", type=int, default=0,
                     help="per-tick cap on crops embedded (0 = all slots)")
+    ap.add_argument("--emb-priority", type=float, default=0.0,
+                    help="priority-budgeted embedding: fill a CNN budget "
+                    "of round(FRAC * streams * max_dets) crops by "
+                    "novelty/crowding/rotation score (the deployed "
+                    "StrongSORT/HybridSORT operating points — same "
+                    "budget arithmetic as bench.py DEPLOYED)")
     ap.add_argument("--pipeline", action="store_true",
                     help="double-buffered serving loop (step_async): "
                     "dispatch tick t+1 before fetching tick t, so the "
@@ -156,9 +162,17 @@ def main():
             cdt = ("bfloat16" if jax.devices()[0].platform == "tpu"
                    else "float32")
             embed = make_embed_fn(model, variables, compute_dtype=cdt)
+        budget = args.crop_budget or 0
+        if args.emb_priority:
+            # same arithmetic as bench.py's DEPLOYED rows: the budget
+            # is a fraction of the det-slot capacity, filled by the
+            # novelty/crowding/rotation score
+            budget = max(budget, int(round(
+                args.emb_priority * args.streams * args.max_dets)))
         reid_kw = dict(crop_hw=crop_hw, embed_fn=embed,
-                       crop_budget=args.crop_budget or None,
-                       emb_cadence=args.emb_cadence or None)
+                       crop_budget=budget or None,
+                       emb_cadence=args.emb_cadence or None,
+                       emb_priority=bool(args.emb_priority))
     svc = TrackingService.from_tracker(
         args.tracker, n_streams=args.streams, max_dets=args.max_dets,
         emb_dim=512 if args.live_reid else 0,
@@ -279,6 +293,7 @@ def main():
            and args.reid_variant != "x1_0" else "")
         + ("_int8" if args.live_reid and args.reid_quant else "")
         + (f"_cb{args.crop_budget}" if args.crop_budget else "")
+        + (f"_pb{args.emb_priority:g}" if args.emb_priority else "")
         + (f"_ec{args.emb_cadence}" if args.emb_cadence > 1 else "")
         + ("_pipelined" if args.pipeline else "")
         + "_serving_tick_latency_ms",

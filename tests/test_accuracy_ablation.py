@@ -162,7 +162,7 @@ REPLICA = Path(__file__).resolve().parent / "replica_comparison.json"
 # digit on the identical no-pan scene (docs/accuracy.md)
 EXACT_PARITY = [
     "sort", "bytetrack", "ocsort", "ucmctrack", "deepocsort",
-    "boosttrack", "boosttrack-noreid",
+    "boosttrack", "boosttrack-noreid", "hybridsort-noreid",
 ]
 
 
