@@ -56,3 +56,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the curated `fast` marker (tests/fast_tier.py).
+
+    The fast tier is an explicit node-id-prefix list so `-m fast` is a
+    reviewable, stable subset (<5 min cold) rather than an emergent
+    property of timing; see docs/benchmarking.md §Test tiers.
+    """
+    from fast_tier import FAST_TIER
+
+    for item in items:
+        # nodeids are rootdir-relative ("tests/test_x.py::test_y")
+        if any(item.nodeid.startswith(p) for p in FAST_TIER):
+            item.add_marker(pytest.mark.fast)
