@@ -64,26 +64,26 @@ def _block_weights(folded: dict, name: str, compute_dtype):
     out = []
 
     def mat(k):  # (1, 1, Cin, Cout) -> (Cin, Cout)
-        k = np.asarray(k)
-        return jnp.asarray(k.reshape(k.shape[-2], k.shape[-1]), cd)
+        k = jnp.asarray(k)  # jnp (not np): stays traceable under jit
+        return k.reshape(k.shape[-2], k.shape[-1]).astype(cd)
 
     def vec(b):
-        return jnp.asarray(np.asarray(b).reshape(1, -1), jnp.float32)
+        return jnp.asarray(b).reshape(1, -1).astype(jnp.float32)
 
     l = folded[f"{name}/conv1"]
     out += [mat(l["kernel"]), vec(l["bias"])]
     for ln in LITE_NAMES:
         l1 = folded[f"{name}/{ln}/conv1"]
         l2 = folded[f"{name}/{ln}/conv2"]
-        kdw = np.asarray(l2["kernel"])  # (3, 3, 1, C)
+        kdw = jnp.asarray(l2["kernel"])  # (3, 3, 1, C)
         out += [
             mat(l1["kernel"]),
-            jnp.asarray(kdw.reshape(9, kdw.shape[-1]), cd),
+            kdw.reshape(9, kdw.shape[-1]).astype(cd),
             vec(l2["bias"]),
         ]
     for fc in ("fc1", "fc2"):
         l = folded[f"{name}/gate/{fc}"]
-        out += [jnp.asarray(np.asarray(l["kernel"]), cd), vec(l["bias"])]
+        out += [jnp.asarray(l["kernel"]).astype(cd), vec(l["bias"])]
     l = folded[f"{name}/conv3"]
     out += [mat(l["kernel"]), vec(l["bias"])]
     if f"{name}/downsample" in folded:
@@ -166,13 +166,18 @@ def _osblock_kernel(x_ref, *refs, H, W, TB, C, Cout, has_ds, acc_dtype):
     x2 = acc_ref[:].astype(cdt)
     k3 = take_mat()
     b3 = take_bias()
-    x3 = conv1x1(x2, k3, b3, relu=False).astype(jnp.float32)
+    # residual add in compute dtype: each f32 copy of a stage-2 (TB, 64,
+    # 32, 256) map is 2 MB/TB — two of them blow the ~16 MB VMEM budget
+    # at useful tile sizes. conv1x1 already accumulates f32 on the MXU
+    # and adds the bias in f32; the final add+relu in bf16 costs <0.4%
+    # relative error (cosine pin in tests/test_appearance.py)
+    x3 = conv1x1(x2, k3, b3, relu=False)
     if has_ds:
         kd = take_mat()
         bd = take_bias()
-        ident = conv1x1(x, kd, bd, relu=False).astype(jnp.float32)
+        ident = conv1x1(x, kd, bd, relu=False)
     else:
-        ident = x.astype(jnp.float32)
+        ident = x
     return jnp.maximum(x3 + ident, 0.0).astype(cdt)
 
 
@@ -225,3 +230,67 @@ def osblock_fused(folded: dict, name: str, x, features: int,
         interpret=interpret,
     )(x, *weights)
     return out
+
+
+# Per-stage batch tiles: VMEM-bounded for stage 2's (64, 32) maps
+# (biggest live values: the Cout=256 residual pair), larger for the
+# small late-stage maps so the MXU matmuls keep enough rows.
+DEFAULT_TILES = {"conv2": 2, "conv3": 8, "conv4": 16}
+
+
+def forward_fused(folded: dict, x, tiles: dict | None = None,
+                  interpret: bool = False):
+    """Full OSNet inference with every OSBlock as one fused Pallas kernel.
+
+    folded: appearance/quant.py::fold_osnet tree (BN folded into
+    conv kernel+bias). The six OSBlocks run as fused kernels (each
+    reads its input from HBM once and writes its output once — the
+    unfused forward round-trips every one of a block's ~15 conv/gate
+    activations through HBM); conv1/maxpool, the two 1x1+avgpool
+    transitions, conv5, and the fc head stay in XLA, which already
+    fuses those fine. Matches forward_folded_f32 structure exactly
+    (reference compute path: ONNX-Runtime CPU inference,
+    src/appearance/onnx_backend.cpp:159-223).
+
+    x: (B, H, W, 3), B divisible by lcm of the stage tiles (pad with
+    junk crops and slice — make_embed_fn_fused does). Compute dtype
+    follows x.dtype (bf16 on TPU); f32 accumulation inside the kernels.
+    """
+    from motcpp_tpu.appearance.quant import _conv, _infer_channels
+
+    tiles = {**DEFAULT_TILES, **(tiles or {})}
+    _, c2, c3, c4 = _infer_channels(folded)
+
+    def conv(name, v, strides=(1, 1), padding="SAME", relu=True):
+        l = folded[name]
+        y = _conv(v, l["kernel"], l["bias"], strides, padding)
+        return jax.nn.relu(y) if relu else y
+
+    def block(name, v, feats, tb):
+        return osblock_fused(folded, name, v, feats, batch_tile=tb,
+                             interpret=interpret)
+
+    x = conv("conv1", x, strides=(2, 2), padding=((3, 3), (3, 3)))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    x = block("conv2_0", x, c2, tiles["conv2"])
+    x = block("conv2_1", x, c2, tiles["conv2"])
+    x = conv("conv2_2_0", x)
+    x = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+    x = block("conv3_0", x, c3, tiles["conv3"])
+    x = block("conv3_1", x, c3, tiles["conv3"])
+    x = conv("conv3_2_0", x)
+    x = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+    x = block("conv4_0", x, c4, tiles["conv4"])
+    x = block("conv4_1", x, c4, tiles["conv4"])
+    x = conv("conv5", x)
+    x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+    head = folded["fc_0"]
+    x = x @ head["kernel"] + head["bias"]
+    return jax.nn.relu(x)

@@ -236,7 +236,8 @@ class ReIDBackend:
 
 
 def make_embed_fn(model, variables, norm=(IMAGENET_MEAN, IMAGENET_STD),
-                 compute_dtype: str = "float32", folded: bool = False):
+                 compute_dtype: str = "float32", folded: bool = False,
+                 fused: bool = False):
     """Build a PURE jit/vmap/scan-composable crop->embedding function.
 
     This is the in-graph half of the live-ReID serving path (the
@@ -257,6 +258,39 @@ def make_embed_fn(model, variables, norm=(IMAGENET_MEAN, IMAGENET_STD),
     cdt = _check_compute_dtype(compute_dtype)
     mean = jnp.asarray(norm[0], jnp.float32)
     std = jnp.asarray(norm[1], jnp.float32)
+    if fused:
+        # every OSBlock as ONE fused Pallas kernel over the folded tree
+        # (appearance/osblock_pallas.py): the block's ~15 intermediate
+        # activations stay in VMEM instead of round-tripping HBM.
+        # TPU-only (Mosaic); tests drive it through interpret=True.
+        import math
+
+        from motcpp_tpu.appearance.osblock_pallas import (
+            DEFAULT_TILES,
+            forward_fused,
+        )
+        from motcpp_tpu.appearance.quant import fold_osnet
+
+        folded_tree = fold_osnet(jax.device_get(variables))
+        folded_tree = _cast_variables({"params": folded_tree},
+                                      compute_dtype)["params"]
+        mult = math.lcm(*DEFAULT_TILES.values())
+        interp = jax.devices()[0].platform != "tpu"
+
+        def embed(crops):
+            x = crops.astype(jnp.float32)[..., ::-1] / 255.0  # BGR -> RGB
+            x = (x - mean) / std
+            b = x.shape[0]
+            bp = -(-b // mult) * mult
+            if bp != b:  # pad to the stage-tile lcm, slice after
+                x = jnp.concatenate(
+                    [x, jnp.zeros((bp - b,) + x.shape[1:], x.dtype)], 0
+                )
+            feats = forward_fused(folded_tree, x.astype(cdt),
+                                  interpret=interp)
+            return normalize_features(feats[:b].astype(jnp.float32))
+
+        return embed
     if folded:
         # BN folded into conv kernel+bias (inference-only algebra,
         # appearance/quant.py): one elementwise pass fewer per conv —

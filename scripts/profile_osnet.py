@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--dw-impl", default="conv", choices=["conv", "shift"],
                     help="depthwise schedule: XLA grouped conv vs "
                     "unrolled shift-FMA stencil (DepthwiseShift3x3)")
+    ap.add_argument("--fused", action="store_true",
+                    help="A/B the fused-OSBlock Pallas forward "
+                    "(appearance/osblock_pallas.py) against the "
+                    "standard apply at the same batch/dtype")
     ap.add_argument("--roofline", action="store_true",
                     help="speed-of-light adjudication: pull flops + "
                     "bytes-accessed from the compiled XLA cost model "
@@ -99,6 +103,30 @@ def main():
     full_ms = timeit(f_full, vs, x_full, repeats=args.repeats)
     print(f"full osnet_x1_0 [{args.dw_impl}] {args.dtype} B={B} {H}x{W}: "
           f"{full_ms:.2f} ms  ({B / full_ms * 1000:,.0f} crops/s)")
+
+    if args.fused:
+        # fused-OSBlock Pallas forward (appearance/osblock_pallas.py):
+        # A/B against the standard apply at identical B/dtype, plus a
+        # cosine check so a fast-but-wrong kernel can't masquerade
+        from motcpp_tpu.appearance.osblock_pallas import forward_fused
+        from motcpp_tpu.appearance.quant import fold_osnet
+
+        folded = fold_osnet(
+            jax.device_get(init_params(model, (H, W))))
+        folded = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dt)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+            folded)
+        f_fused = jax.jit(lambda tree, a: forward_fused(tree, a))
+        fused_ms = timeit(f_fused, folded, x_full, repeats=args.repeats)
+        print(f"fused osnet_x1_0 {args.dtype} B={B}: {fused_ms:.2f} ms "
+              f"({B / fused_ms * 1000:,.0f} crops/s)  "
+              f"{full_ms / fused_ms:.2f}x vs apply")
+        a = np.asarray(f_full(vs, x_full[:64]), np.float32)
+        b = np.asarray(f_fused(folded, x_full[:64]), np.float32)
+        cos = (a * b).sum(1) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-9)
+        print(f"  cosine vs apply: min {cos.min():.5f} mean {cos.mean():.5f}")
 
     if args.roofline:
         # Speed-of-light adjudication (VERDICT r4 #3): the compiled

@@ -309,6 +309,43 @@ def test_depthwise_shift_matches_grouped_conv():
     )
 
 
+def test_fused_osblock_forward_matches_folded():
+    """The fused-OSBlock Pallas forward (appearance/osblock_pallas.py,
+    the TPU hot path behind live ReID) must reproduce the folded f32
+    reference forward exactly-ish, and make_embed_fn(fused=True) must
+    pad ragged batches to the stage-tile lcm and slice back. Runs the
+    Pallas interpreter on CPU; the TPU A/B lives in
+    scripts/profile_osnet.py --fused."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from motcpp_tpu.appearance.osblock_pallas import forward_fused
+    from motcpp_tpu.appearance.osnet import init_params, osnet_x0_25
+    from motcpp_tpu.appearance.quant import fold_osnet, forward_folded_f32
+    from motcpp_tpu.appearance.reid import make_embed_fn
+
+    model = osnet_x0_25()
+    vs = init_params(model, input_hw=(32, 16), seed=0)
+    folded = fold_osnet(jax.device_get(vs))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 32, 16, 3)), jnp.float32)
+    ref = np.asarray(forward_folded_f32(folded, x))
+    got = np.asarray(forward_fused(
+        folded, x, tiles={"conv2": 2, "conv3": 2, "conv4": 2},
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+    # embed-fn integration: ragged batch (5 crops) pads to the tile lcm
+    crops = rng.integers(0, 255, (5, 32, 16, 3)).astype(np.uint8)
+    e_fused = make_embed_fn(model, vs, fused=True)(jnp.asarray(crops))
+    e_folded = make_embed_fn(model, vs, folded=True)(jnp.asarray(crops))
+    e_fused, e_folded = np.asarray(e_fused), np.asarray(e_folded)
+    assert e_fused.shape == e_folded.shape == (5, 512)
+    cos = (e_fused * e_folded).sum(1)  # both L2-normalized
+    assert cos.min() >= 0.999, cos
+
+
 def test_reid_backend_dw_impl_shift():
     """ReIDBackend(dw_impl='shift') must load checkpoints unchanged
     (clone keeps the param tree) and agree with the grouped-conv
