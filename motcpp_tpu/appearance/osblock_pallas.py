@@ -232,10 +232,12 @@ def osblock_fused(folded: dict, name: str, x, features: int,
     return out
 
 
-# Per-stage batch tiles: VMEM-bounded for stage 2's (64, 32) maps
-# (biggest live values: the Cout=256 residual pair), larger for the
-# small late-stage maps so the MXU matmuls keep enough rows.
-DEFAULT_TILES = {"conv2": 2, "conv3": 8, "conv4": 16}
+# Per-stage batch tiles: VMEM-bounded for stage 2's (64, 32) maps —
+# Pallas double-buffers the in/out grid blocks, so the budget per step
+# is roughly 2*(in+out) + x1/x3/ident/pad/acc; TB=2 at stage 2 blew the
+# 16 MB scoped limit by 4 MB (measured), TB=1 fits. Late stages have
+# 4-16x smaller maps so bigger tiles keep the MXU matmul rows up.
+DEFAULT_TILES = {"conv2": 1, "conv3": 4, "conv4": 8}
 
 
 def forward_fused(folded: dict, x, tiles: dict | None = None,

