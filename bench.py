@@ -558,6 +558,13 @@ def main():
         "--reid-variant experiments",
     )
     ap.add_argument(
+        "--merge-full", action="store_true",
+        help="single-tracker mode: merge this run's row into "
+        "BENCH_FULL.json by metric key (replaces the matching row, "
+        "appends if absent) — re-measure one contention-suspect leg "
+        "without re-running the whole scoreboard",
+    )
+    ap.add_argument(
         "--metric-suffix", default="",
         help="suffix appended to the metric name in single-tracker "
         "mode (used by the full scoreboard's subprocess legs to "
@@ -718,6 +725,22 @@ def main():
                 )
         emit(bench_one("bytetrack", args))
     finally:
+        if rows and args.tracker and args.merge_full and not args.cpu:
+            from pathlib import Path
+
+            out = Path(__file__).resolve().parent / "BENCH_FULL.json"
+            try:
+                full = json.loads(out.read_text())
+            except (OSError, json.JSONDecodeError):
+                full = {"rows": [], "argv": []}
+            for rec in rows:
+                for i, old in enumerate(full["rows"]):
+                    if old.get("metric") == rec.get("metric"):
+                        full["rows"][i] = rec
+                        break
+                else:
+                    full["rows"].append(rec)
+            out.write_text(json.dumps(full, indent=1) + "\n")
         if rows and not args.tracker:
             from pathlib import Path
 

@@ -103,6 +103,16 @@ def main():
                     "stack; device-data is the deployable-SLO figure "
                     "and the e2e row is kept as the tunnel-bound "
                     "bound (docs/deployment.md)")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="in-flight ticks when --pipeline is set "
+                    "(the service sequences states by dispatch order, "
+                    "so any depth is safe; outputs resolve in order). "
+                    "Depth D hides per-tick dispatch+fetch round trips "
+                    "behind D-1 computes — on this environment's "
+                    "tunnel the RTT is ~30-40 ms/tick, so depth 2 "
+                    "floors the interval there regardless of compute; "
+                    "per-frame e2e latency grows to ~D intervals and "
+                    "is reported alongside")
     ap.add_argument("--pipeline", action="store_true",
                     help="double-buffered serving loop (step_async): "
                     "dispatch tick t+1 before fetching tick t, so the "
@@ -216,10 +226,16 @@ def main():
                 mask[s, : len(d)] = True
             entry = [jnp.asarray(dets), jnp.asarray(mask)]
             if crop_hw is not None:
-                crops = rng.integers(
-                    0, 255, (S, N) + crop_hw + (3,)
-                ).astype(np.uint8)
-                entry.append(jnp.asarray(crops))
+                # synthesize crops ON DEVICE: host-staging S*N 256x128
+                # crops costs ~25 MB/entry, ~20 min for the ring over
+                # this environment's tunnel (production PCIe: ~100 ms)
+                key = jax.random.PRNGKey(len(ring))
+                crops = jax.jit(
+                    lambda k: jax.random.randint(
+                        k, (S, N) + crop_hw + (3,), 0, 255, jnp.uint8
+                    )
+                )(key)
+                entry.append(crops)
             else:
                 entry.append(None)
             ring.append(entry)
@@ -320,26 +336,30 @@ def main():
     e2e = np.empty(args.ticks, np.float64)
     presents = 0
     if args.pipeline:
-        # Double-buffered: tick t+1's assemble + H2D transfer rides the
-        # copy engine while tick t computes. The SLO figure is the
-        # steady-state INTERVAL between resolved ticks; per-frame e2e
-        # latency (dispatch -> fetch) is ~2 intervals at depth 2.
-        fill()
-        pend = svc.step_async()
-        pend_t0 = time.perf_counter()
-        last = pend_t0
+        # Pipelined at depth D: D ticks in flight; the SLO figure is
+        # the steady-state INTERVAL between resolved ticks (sustains
+        # 30 FPS iff p99 interval <= 33 ms); per-frame e2e latency
+        # (dispatch -> fetch) is ~D intervals and reported alongside.
+        from collections import deque
+
+        depth = max(2, args.pipeline_depth)
+        pend = deque()
+        for _ in range(depth):
+            fill()
+            pend.append((svc.step_async(), time.perf_counter()))
+        last = time.perf_counter()
         for i in range(args.ticks):
-            fill()  # producers queue t+1 while the device computes t
-            nxt = svc.step_async()
-            nxt_t0 = time.perf_counter()
-            batch = pend.result()
+            fill()  # producers queue ahead while the device computes
+            pend.append((svc.step_async(), time.perf_counter()))
+            p, t0 = pend.popleft()
+            batch = p.result()
             now = time.perf_counter()
             lat[i] = now - last
-            e2e[i] = now - pend_t0
+            e2e[i] = now - t0
             last = now
             presents += int(batch.present.sum())
-            pend, pend_t0 = nxt, nxt_t0
-        pend.result()  # drain the final in-flight tick
+        while pend:  # drain in-flight ticks
+            pend.popleft()[0].result()
     else:
         for i in range(args.ticks):
             lat[i], p = one_tick()
@@ -367,6 +387,8 @@ def main():
         + (f"_pb{args.emb_priority:g}" if args.emb_priority else "")
         + (f"_ec{args.emb_cadence}" if args.emb_cadence > 1 else "")
         + ("_pipelined" if args.pipeline else "")
+        + (f"_pd{args.pipeline_depth}" if args.pipeline
+           and args.pipeline_depth != 2 else "")
         + ("_devdata" if args.device_data else "")
         + "_serving_tick_latency_ms",
         "p50": round(p50, 2), "p90": round(p90, 2),
